@@ -1,0 +1,23 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4's implication: multi-chip behaviour is validated with
+`--xla_force_host_platform_device_count` since only one real TPU chip exists.
+
+Note: the environment pins JAX_PLATFORMS=axon (the TPU tunnel) and the env
+var alone does not reliably win, so we force the platform through jax.config
+before any jax computation runs.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# parity tests compare f32 numerics against torch-CPU; keep matmuls exact
+jax.config.update("jax_default_matmul_precision", "highest")

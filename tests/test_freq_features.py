@@ -1,0 +1,112 @@
+"""Parity of the fused 24-d frequency feature graph vs a direct NumPy oracle
+implementing the reference formulas (appv3.py:1634-1728)."""
+
+import math
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tpudf.ops.dwt import haar_dwt2
+from tpudf.ops.fft_features import extract_freq_vector, fft_features
+from tpudf.ops.srm import SRM_KERNELS, srm_features
+
+
+def _oracle_fft_feats(x):
+    """x: (256,256) float32 [0,1]. Direct NumPy evaluation of the documented
+    feature definitions (independent of the tpudf implementation)."""
+    eps = 1e-6
+    F = np.fft.fftshift(np.fft.fft2(x))
+    mag = np.abs(F)
+    phase = np.angle(F)
+    h, w = mag.shape
+    cy, cx = h // 2, w // 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+    rmax = r.max()
+    r1, r2 = 0.15 * rmax, 0.45 * rmax
+    Et = mag.sum() + eps
+    El = mag[r <= r1].sum()
+    Em = mag[(r > r1) & (r <= r2)].sum()
+    Eh = mag[r > r2].sum()
+
+    rb = np.logspace(np.log10(1.0), np.log10(rmax + 1.0), 40)
+    ridx = np.searchsorted(rb, (r + 1.0).ravel(), side="left") - 1
+    mu = []
+    flat = np.log(mag.ravel() + 1e-6)
+    for i in range(39):
+        m = ridx == i
+        mu.append(flat[m].mean() if m.any() else np.nan)
+    slope = np.polyfit(np.arange(39), np.nan_to_num(mu), 1)[0]
+
+    hist, _ = np.histogram(phase.ravel(), bins=50, range=(-math.pi, math.pi))
+    prob = hist / (hist.sum() + eps)
+    entropy = -(prob * np.log(prob + eps)).sum()
+
+    ang = np.arctan2(yy - cy, xx - cx)
+    sect = []
+    for a0 in np.linspace(-math.pi, math.pi, 8, endpoint=False):
+        m = (ang >= a0) & (ang < a0 + math.pi / 4)
+        sect.append(mag[m].mean() if m.any() else 0.0)
+    anis = np.var(sect)
+
+    def dwt(a):
+        p, q, s, t = a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]
+        return ((p + q + s + t) / 2, (s + t - p - q) / 2,
+                (q + t - p - s) / 2, (p + t - q - s) / 2)
+
+    ca1, ch1, cv1, cd1 = dwt(x)
+    ca2, ch2, cv2, cd2 = dwt(ca1)
+    wave = [np.mean(np.abs(c) ** 2)
+            for c in [ca1, ch1, cv1, cd1, ca2, ch2, cv2, cd2]]
+    return [El / Et, Em / Et, Eh / Et, (Eh + eps) / (El + eps),
+            slope, anis, entropy] + wave
+
+
+def _oracle_srm(x):
+    from scipy.signal import convolve2d
+    eps = 1e-6
+    feats = []
+    for k in SRM_KERNELS:
+        kn = k / (np.abs(k).sum() + eps)
+        y = convolve2d(x, kn[::-1, ::-1], mode="same")  # cross-correlation
+        m, v = y.mean(), y.var()
+        feats += [m, v, ((y - m) ** 4).mean() / ((v + eps) ** 2)]
+    return feats
+
+
+@pytest.fixture(scope="module")
+def gray():
+    rng = np.random.default_rng(0)
+    base = rng.random((256, 256)).astype(np.float32)
+    # add structure so spectra aren't flat
+    yy, xx = np.mgrid[0:256, 0:256]
+    return (0.5 * base + 0.5 * np.sin(xx / 9.0) * np.cos(yy / 17.0)
+            ).astype(np.float32) * 0.5 + 0.25
+
+
+def test_fft_features_match_oracle(gray):
+    ours = np.asarray(fft_features(jnp.asarray(gray[None])))[0]
+    oracle = np.asarray(_oracle_fft_feats(gray))
+    np.testing.assert_allclose(ours, oracle, rtol=2e-3, atol=2e-3)
+
+
+def test_srm_features_match_oracle(gray):
+    ours = np.asarray(srm_features(jnp.asarray(gray[None])))[0]
+    oracle = np.asarray(_oracle_srm(gray))
+    np.testing.assert_allclose(ours, oracle, rtol=1e-3, atol=1e-4)
+
+
+def test_extract_freq_vector_standardized(gray):
+    v = np.asarray(extract_freq_vector(jnp.asarray(gray[None])))[0]
+    assert v.shape == (24,)
+    np.testing.assert_allclose(v.mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(v.std(ddof=1), 1.0, atol=1e-3)
+
+
+def test_haar_is_orthonormal(gray):
+    ca, (ch, cv, cd) = haar_dwt2(jnp.asarray(gray[None]))
+    energy_in = float(np.sum(gray ** 2))
+    energy_out = float(sum(np.sum(np.asarray(c) ** 2)
+                           for c in (ca, ch, cv, cd)))
+    np.testing.assert_allclose(energy_in, energy_out, rtol=1e-5)

@@ -1,0 +1,323 @@
+"""SigLIP / SigLIP-2 vision transformer, TPU-first functional JAX.
+
+Re-designs (not ports) the two backbone stacks the reference sits on:
+  * open_clip `ViT-L-16-SigLIP-384` etc. (appv3.py:1223, cifake MODEL_CONFIGS
+    cifake_binary_classifier.py:547-572)
+  * HF `SiglipVisionModel` (siglip2siddataset.py:753) including
+    `interpolate_pos_encoding=True` variable-resolution support
+    (siglip2siddataset.py:770) and per-layer hidden states for the
+    segmentation decoder (siglip2siddataset.py:765-785).
+
+TPU-first choices:
+  * NHWC pixel layout; patch embedding as patchify-reshape + one big matmul
+    (maps directly onto the MXU; no conv lowering required).
+  * Fused QKV projection — one (B,S,W)@(W,3W) matmul instead of three.
+  * Attention through the Pallas fused kernel (tpudf/ops/attention.py).
+  * bf16 matmul compute, f32 layer norms/softmax (core/precision.py policy).
+  * Pure functions over a params pytree: trivially jittable, shardable with
+    pjit, differentiable, and checkpointable with orbax.
+
+Weight layout conventions (all matmul weights stored (in, out)):
+  params = {
+    "embed": {"kernel": (p*p*3, W) flattened (kh,kw,c), "bias": (W,),
+               "pos": (N, W)},
+    "blocks": [  # stacked: each leaf has leading axis L (scan-friendly)
+      {"ln1": {"scale","bias"}, "attn": {"qkv_w": (W,3W), "qkv_b": (3W,),
+       "out_w": (W,W), "out_b": (W,)},
+       "ln2": {...}, "mlp": {"fc1_w","fc1_b","fc2_w","fc2_b"}}],
+    "post_ln": {"scale","bias"},
+    "head": {"probe": (1,W), "in_w": (W,3W), "in_b": (3W,), "out_w": (W,W),
+             "out_b": (W,), "ln": {...}, "fc1_w","fc1_b","fc2_w","fc2_b"},
+  }
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpudf.core.precision import Policy, DEFAULT_POLICY
+from tpudf.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class SigLIPConfig:
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    image_size: int = 256
+    patch_size: int = 16
+    ln_eps: float = 1e-6
+    with_head: bool = True          # MAP attention-pooling head
+    remat: bool = False             # jax.checkpoint each block (training)
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+# The four backbone sizes the reference trains/serves
+# (cifake_binary_classifier.py:547-572 MODEL_CONFIGS + appv3.py:1223).
+CONFIGS = {
+    "base-256": SigLIPConfig(768, 12, 12, 3072, 256, 16),
+    "base-384": SigLIPConfig(768, 12, 12, 3072, 384, 16),
+    "large-384": SigLIPConfig(1024, 24, 16, 4096, 384, 16),
+    "so400m-512": SigLIPConfig(1152, 27, 16, 4304, 512, 16),
+    # tiny config for tests
+    "test-32": SigLIPConfig(64, 2, 2, 128, 32, 16),
+}
+
+
+# ---------------------------------------------------------------- init
+
+def _dense_init(key, fan_in, shape):
+    return jax.random.normal(key, shape, jnp.float32) * (fan_in ** -0.5)
+
+
+def _ln_init(width):
+    return {"scale": jnp.ones((width,), jnp.float32),
+            "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def init_siglip(key, cfg: SigLIPConfig):
+    """Random-init parameter pytree (layout above)."""
+    w, pd = cfg.width, cfg.patch_size * cfg.patch_size * 3
+    keys = iter(jax.random.split(key, 16 + cfg.layers * 8))
+    params: dict[str, Any] = {
+        "embed": {
+            "kernel": _dense_init(next(keys), pd, (pd, w)),
+            "bias": jnp.zeros((w,), jnp.float32),
+            "pos": jax.random.normal(next(keys), (cfg.num_patches, w)) * 0.02,
+        },
+    }
+
+    def block():
+        return {
+            "ln1": _ln_init(w),
+            "attn": {
+                "qkv_w": _dense_init(next(keys), w, (w, 3 * w)),
+                "qkv_b": jnp.zeros((3 * w,), jnp.float32),
+                "out_w": _dense_init(next(keys), w, (w, w)),
+                "out_b": jnp.zeros((w,), jnp.float32),
+            },
+            "ln2": _ln_init(w),
+            "mlp": {
+                "fc1_w": _dense_init(next(keys), w, (w, cfg.mlp_dim)),
+                "fc1_b": jnp.zeros((cfg.mlp_dim,), jnp.float32),
+                "fc2_w": _dense_init(next(keys), cfg.mlp_dim, (cfg.mlp_dim, w)),
+                "fc2_b": jnp.zeros((w,), jnp.float32),
+            },
+        }
+
+    blocks = [block() for _ in range(cfg.layers)]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    params["post_ln"] = _ln_init(w)
+    if cfg.with_head:
+        params["head"] = {
+            "probe": jax.random.normal(next(keys), (1, w)) * 0.02,
+            "in_w": _dense_init(next(keys), w, (w, 3 * w)),
+            "in_b": jnp.zeros((3 * w,), jnp.float32),
+            "out_w": _dense_init(next(keys), w, (w, w)),
+            "out_b": jnp.zeros((w,), jnp.float32),
+            "ln": _ln_init(w),
+            "fc1_w": _dense_init(next(keys), w, (w, cfg.mlp_dim)),
+            "fc1_b": jnp.zeros((cfg.mlp_dim,), jnp.float32),
+            "fc2_w": _dense_init(next(keys), cfg.mlp_dim, (cfg.mlp_dim, w)),
+            "fc2_b": jnp.zeros((w,), jnp.float32),
+        }
+    return params
+
+
+# ---------------------------------------------------------------- forward
+
+def layer_norm(x, p, eps):
+    """f32 layer norm regardless of compute dtype (TPU numerics rule)."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(dt)
+
+
+def gelu_tanh(x):
+    # matches `gelu_pytorch_tanh` used by SigLIP (HF config hidden_act)
+    return jax.nn.gelu(x, approximate=True)
+
+
+def patchify(pixels, patch):
+    """(B, H, W, 3) NHWC → (B, N, patch*patch*3) flattened (kh, kw, c)."""
+    b, h, w, c = pixels.shape
+    gh, gw = h // patch, w // patch
+    x = pixels.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)          # (B, gh, gw, kh, kw, c)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def _bicubic_matrix(src: int, dst: int) -> jnp.ndarray:
+    """(dst, src) interpolation matrix matching torch F.interpolate
+    mode='bicubic', align_corners=False, antialias=False (cubic convolution
+    kernel a=-0.75, border-replicate). Static — baked into the jitted graph."""
+    import numpy as np
+    a = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1:
+            return (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1
+        if x < 2:
+            return a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a
+        return 0.0
+
+    m = np.zeros((dst, src), np.float64)
+    scale = src / dst
+    for i in range(dst):
+        c = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(c))
+        t = c - x0
+        for tap, dist in zip(range(x0 - 1, x0 + 3),
+                             (1 + t, t, 1 - t, 2 - t)):
+            m[i, min(max(tap, 0), src - 1)] += k(dist)
+    return jnp.asarray(m, jnp.float32)
+
+
+def interpolate_pos(pos, src_grid: int, dst_hw: tuple[int, int]):
+    """Bicubic position-embedding interpolation for variable resolution,
+    numerically matching HF interpolate_pos_encoding=True
+    (ref: siglip2siddataset.py:770)."""
+    n, w = pos.shape
+    grid = pos.reshape(src_grid, src_grid, w)
+    mh = _bicubic_matrix(src_grid, dst_hw[0])
+    mw = _bicubic_matrix(src_grid, dst_hw[1])
+    out = jnp.einsum("ij,jkc->ikc", mh, grid,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("kj,ijc->ikc", mw, out,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(dst_hw[0] * dst_hw[1], w)
+
+
+def _mha(x_q, x_kv, heads, in_w, in_b, out_w, out_b, *, policy, interpret=False):
+    """Generic multi-head attention with fused input projection.
+
+    x_q: (B, Sq, W); x_kv: (B, Skv, W). Query/key/value projections come from
+    the same fused (W, 3W) weight (columns [q | k | v]).
+    """
+    b, sq, w = x_q.shape
+    skv = x_kv.shape[1]
+    d = w // heads
+    wq, wk, wv = in_w[:, :w], in_w[:, w:2 * w], in_w[:, 2 * w:]
+    bq, bk, bv = in_b[:w], in_b[w:2 * w], in_b[2 * w:]
+    q = (x_q @ wq + bq).reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+    k = (x_kv @ wk + bk).reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+    v = (x_kv @ wv + bv).reshape(b, skv, heads, d).transpose(0, 2, 1, 3)
+    o = attention(q, k, v, interpret=interpret)
+    o = o.transpose(0, 2, 1, 3).reshape(b, sq, w)
+    return o @ out_w + out_b
+
+
+def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
+    h = layer_norm(x, bp["ln1"], cfg.ln_eps)
+    b, s, w = h.shape
+    qkv = h @ bp["attn"]["qkv_w"] + bp["attn"]["qkv_b"]
+    qkv = qkv.reshape(b, s, 3, cfg.heads, cfg.head_dim)
+    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+    o = attention(q, k, v, interpret=interpret)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+    x = x + (o @ bp["attn"]["out_w"] + bp["attn"]["out_b"])
+    h = layer_norm(x, bp["ln2"], cfg.ln_eps)
+    h = gelu_tanh(h @ bp["mlp"]["fc1_w"] + bp["mlp"]["fc1_b"])
+    x = x + (h @ bp["mlp"]["fc2_w"] + bp["mlp"]["fc2_b"])
+    return x
+
+
+def map_head(tokens, hp, cfg: SigLIPConfig, policy: Policy, interpret=False):
+    """MAP (attention-pooling) head: probe token attends over all patch
+    tokens, then LN + MLP residual. Mirrors HF
+    SiglipMultiheadAttentionPoolingHead semantics."""
+    b = tokens.shape[0]
+    probe = jnp.broadcast_to(hp["probe"][None].astype(tokens.dtype),
+                             (b, 1, cfg.width))
+    h = _mha(probe, tokens, cfg.heads, hp["in_w"].astype(tokens.dtype),
+             hp["in_b"].astype(tokens.dtype), hp["out_w"].astype(tokens.dtype),
+             hp["out_b"].astype(tokens.dtype), policy=policy,
+             interpret=interpret)
+    res = h
+    h = layer_norm(h, hp["ln"], cfg.ln_eps)
+    h = gelu_tanh(h @ hp["fc1_w"].astype(h.dtype) + hp["fc1_b"].astype(h.dtype))
+    h = res + (h @ hp["fc2_w"].astype(h.dtype) + hp["fc2_b"].astype(h.dtype))
+    return h[:, 0]
+
+
+def siglip_forward(params, pixels, cfg: SigLIPConfig,
+                   policy: Policy = DEFAULT_POLICY,
+                   *, output_hidden_states: bool = False,
+                   interpret: bool = False):
+    """Run the vision tower.
+
+    pixels: (B, H, W, 3) float in SigLIP-normalized range, NHWC.
+    Returns dict with:
+      "tokens":  (B, N, W) post-layernorm patch tokens
+      "pooled":  (B, W) MAP-head output (if cfg.with_head)
+      "hidden_states": tuple of per-layer outputs (embeddings output first,
+        then after each block — HF semantics) when requested.
+    """
+    b, h, w, _ = pixels.shape
+    patch = cfg.patch_size
+    gh, gw = h // patch, w // patch
+
+    cdt = policy.compute_dtype
+    x = patchify(pixels.astype(cdt), patch)
+    ek = params["embed"]["kernel"].astype(cdt)
+    x = x @ ek + params["embed"]["bias"].astype(cdt)
+
+    pos = params["embed"]["pos"]
+    if (gh, gw) != (cfg.grid, cfg.grid):
+        pos = interpolate_pos(pos, cfg.grid, (gh, gw))
+    x = x + pos.astype(cdt)
+
+    hidden = [x] if output_hidden_states else None
+
+    blocks = params["blocks"]
+    cast = lambda t: jax.tree.map(
+        lambda a: a.astype(cdt) if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
+    if output_hidden_states:
+        # python loop — we need every intermediate activation
+        for i in range(cfg.layers):
+            bp = cast(jax.tree.map(lambda a: a[i], blocks))
+            fn = _block_apply
+            if cfg.remat:
+                fn = jax.checkpoint(fn, static_argnums=(2, 3, 4))
+            x = fn(x, bp, cfg, policy, interpret)
+            hidden.append(x)
+    else:
+        # lax.scan over stacked block params: single trace/compile of one block
+        def body(x, bp):
+            bp = cast(bp)
+            fn = _block_apply
+            if cfg.remat:
+                fn = jax.checkpoint(fn, static_argnums=(2, 3, 4))
+            return fn(x, bp, cfg, policy, interpret), None
+        x, _ = jax.lax.scan(body, x, blocks)
+
+    tokens = layer_norm(x, params["post_ln"], cfg.ln_eps)
+    out = {"tokens": tokens}
+    if output_hidden_states:
+        out["hidden_states"] = tuple(hidden)
+    if cfg.with_head and "head" in params:
+        out["pooled"] = map_head(tokens, params["head"], cfg, policy,
+                                 interpret=interpret)
+    return out

@@ -1,0 +1,151 @@
+"""Fused multi-head attention for SigLIP ViTs.
+
+The reference gets its attention speed from CUDA Flash/mem-efficient SDPA
+(cifake_binary_classifier.py:24-27, hidf_video_classifier.py:69-72,
+siglip2siddataset.py:35-37). The TPU-native equivalent is a Pallas kernel.
+
+Design notes (TPU-first, not a flash-attention translation):
+  * SigLIP attention is non-causal, unmasked, with short sequences —
+    (image_size/16)^2 tokens: 256 @256px, 576 @384px, 1024 @512px.
+  * At these lengths the ENTIRE K/V for one (batch, head) fits comfortably in
+    VMEM (1024 x 128 x bf16 = 256 KiB), so we do NOT need the online-softmax
+    streaming of flash attention. The kernel keeps K/V resident, computes the
+    full (q_block, seq) score tile in f32 on the MXU, applies one exact
+    softmax, and multiplies back — one pass, no rescaling loop, better MXU
+    utilisation than a streamed kernel at this scale.
+  * Grid = (batch*heads, q_blocks). Padding tokens (to reach a multiple of the
+    q block / lane alignment) are masked with -inf before the softmax.
+
+Falls back to a pure-XLA einsum implementation off-TPU (CPU tests) and for
+shapes the kernel does not support.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only imports on TPU-enabled builds; guard for portability
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def attention_reference(q, k, v, scale=None):
+    """Plain XLA attention. q,k,v: (B, H, S, D). Returns (B, H, S, D)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
+    """One (batch*head, q_block) program: full-softmax attention tile."""
+    q = q_ref[0]                      # (Bq, D)
+    k = k_ref[0]                      # (Skv, D)
+    v = v_ref[0]                      # (Skv, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (Bq, Skv)
+    skv = k.shape[0]
+    if skv > seq_len:  # mask KV padding
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_ids < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _attention_pallas(q, k, v, scale, *, q_block=256, interpret=False):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sq_p = _round_up(sq, 128)         # lane-aligned query length
+    q_block = min(q_block, sq_p)
+    sq_p = _round_up(sq_p, q_block)
+    skv_p = _round_up(skv, 128)
+    dp = _round_up(d, 128)            # mosaic pads last dim anyway; be explicit
+
+    def pad(x, target_s):
+        s = x.shape[2]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, target_s - s), (0, dp - d)))
+
+    qp = pad(q, sq_p).reshape(b * h, sq_p, dp)
+    kp = pad(k, skv_p).reshape(b * h, skv_p, dp)
+    vp = pad(v, skv_p).reshape(b * h, skv_p, dp)
+
+    grid = (b * h, sq_p // q_block)
+    kernel = functools.partial(_attn_kernel, scale=scale, seq_len=skv)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, dp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, skv_p, dp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, skv_p, dp), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, dp), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_p, dp)[:, :, :sq, :d]
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_with_vjp(scale: float, interpret: bool):
+    """Pallas forward + XLA-recompute backward.
+
+    pallas_call has no autodiff rule; the backward pass recomputes attention
+    through the XLA reference path (cheap at SigLIP sequence lengths, and only
+    exercised when the backbone is unfrozen, e.g. MTL fine-tuning of the top
+    blocks — ref Siglip2sidafrozen.py:754-770)."""
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _attention_pallas(q, k, v, scale, interpret=interpret)
+
+    def fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(
+            lambda q, k, v: attention_reference(q, k, v, scale), q, k, v)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def attention(q, k, v, scale=None, *, use_pallas=None, interpret=False):
+    """Multi-head attention dispatch. q,k,v: (B, H, S, D) → (B, H, S, D).
+
+    Uses the Pallas fused kernel on TPU (or when `interpret=True` for tests),
+    otherwise the XLA reference path.
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if (use_pallas or interpret) and q.shape[2] <= 4096:
+        return _fused_with_vjp(float(scale), bool(interpret))(q, k, v)
+    return attention_reference(q, k, v, scale)

@@ -1,0 +1,139 @@
+"""The 24-d FFT+SRM frequency feature extractor, as one fused device graph.
+
+Reference: appv3.py:1634-1728 (`fft_features` + `srm_features` +
+`extract_freq_vector`). The reference computes these per-image on host CPU
+with NumPy/torch scalar loops — the #2 hot loop of image inference
+(SURVEY.md §3.1). Here the whole battery is batched JAX:
+
+  * all radial-band / log-bin / sector masks over the 256x256 FFT grid are
+    STATIC (they depend only on image size), so per-region sums become one
+    (B, H*W) @ (H*W, K) matmul on the MXU instead of 50 masked reductions;
+  * the db1 wavelet energies are the Haar block transform (ops/dwt.py);
+  * SRM stats are a grouped conv (ops/srm.py);
+  * phase entropy is a 50-bin histogram via scatter-add.
+
+Feature order (matches the reference exactly, appv3.py:1695-1705 + :1712-1719):
+  [0]  E_low / E_total           (r <= 0.15 rmax)
+  [1]  E_mid / E_total           (0.15 < r <= 0.45 rmax)
+  [2]  E_high / E_total          (r > 0.45 rmax)
+  [3]  (E_high+eps)/(E_low+eps)
+  [4]  log-radial spectrum slope (39 log bins, least-squares line)
+  [5]  8-sector anisotropy (variance of sector means)
+  [6]  phase entropy (50-bin histogram)
+  [7:15]  Haar energies [cA1,cH1,cV1,cD1,cA2,cH2,cV2,cD2]
+  [15:24] SRM mean/var/kurtosis x 3 kernels
+followed by per-vector standardization (appv3.py:1722-1728).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudf.ops.dwt import haar_energies_2level
+from tpudf.ops.srm import srm_features
+
+_EPS = 1e-6
+
+
+@functools.lru_cache(maxsize=4)
+def _static_masks(h: int, w: int):
+    """Precompute the mask matrix (H*W, 3+8) for band/sector sums, the
+    (H*W, 39) log-bin matrix, bin counts, and polyfit weights — all numpy
+    constants baked into the jitted graph."""
+    cy, cx = h // 2, w // 2
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+    rmax = r.max()
+
+    r1, r2 = 0.15 * rmax, 0.45 * rmax
+    band = np.stack([r <= r1, (r > r1) & (r <= r2), r > r2], -1)  # (H,W,3)
+
+    ang = np.arctan2(yy - cy, xx - cx)
+    sectors = []
+    for a0 in np.linspace(-math.pi, math.pi, 8, endpoint=False):
+        sectors.append((ang >= a0) & (ang < a0 + math.pi / 4))
+    sect = np.stack(sectors, -1)                                   # (H,W,8)
+
+    # log-radius bins: torch.logspace(log10 1, log10 rmax+1, 40) boundaries,
+    # torch.bucketize(r+1, rb) - 1  (appv3.py:1656-1657)
+    rb = np.logspace(np.log10(1.0), np.log10(rmax + 1.0), 40)
+    ridx = np.searchsorted(rb, (r + 1.0).ravel(), side="left") - 1
+    nbins = 39
+    binm = np.zeros((h * w, nbins), np.float32)
+    valid = (ridx >= 0) & (ridx < nbins)
+    binm[np.arange(h * w)[valid], ridx[valid]] = 1.0
+    bin_counts = binm.sum(0)                                       # (39,)
+
+    mask = np.concatenate([band.reshape(-1, 3), sect.reshape(-1, 8)],
+                          axis=1).astype(np.float32)               # (HW, 11)
+    sect_counts = sect.reshape(-1, 8).sum(0).astype(np.float32)
+
+    # least-squares slope weights over xs = arange(39)
+    xs = np.arange(nbins, dtype=np.float64)
+    xc = xs - xs.mean()
+    slope_w = (xc / (xc ** 2).sum()).astype(np.float32)            # (39,)
+
+    return (jnp.asarray(mask), jnp.asarray(binm),
+            jnp.asarray(bin_counts), jnp.asarray(sect_counts),
+            jnp.asarray(slope_w))
+
+
+def fft_features(gray):
+    """gray: (B, H, W) float32 in [0,1] (already 256x256 grayscale) → (B, 15).
+
+    Matches appv3.py:1634-1705 feature-by-feature.
+    """
+    b, h, w = gray.shape
+    mask, binm, bin_counts, sect_counts, slope_w = _static_masks(h, w)
+
+    f = jnp.fft.fftshift(jnp.fft.fft2(gray.astype(jnp.complex64)),
+                         axes=(-2, -1))
+    mag = jnp.abs(f).reshape(b, h * w)
+    phase = jnp.angle(f).reshape(b, h * w)
+
+    sums = mag @ mask                          # (B, 11): 3 bands + 8 sectors
+    el, em, eh = sums[:, 0], sums[:, 1], sums[:, 2]
+    et = jnp.sum(mag, axis=1) + _EPS
+    sect_means = sums[:, 3:] / jnp.maximum(sect_counts, 1.0)
+    anis = jnp.var(sect_means, axis=1)
+
+    # log-radial slope
+    logmag = jnp.log(mag + _EPS)
+    bin_sums = logmag @ binm                   # (B, 39)
+    mu = jnp.where(bin_counts > 0, bin_sums / jnp.maximum(bin_counts, 1.0), 0.0)
+    slope = mu @ slope_w
+
+    # phase entropy: 50-bin histogram over [-pi, pi] (torch.histc semantics:
+    # right-edge value joins the last bin)
+    nb = 50
+    idx = jnp.clip(jnp.floor((phase + math.pi) / (2 * math.pi) * nb),
+                   0, nb - 1).astype(jnp.int32)
+    hist = jnp.zeros((b, nb), jnp.float32)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], idx.shape)
+    hist = hist.at[bidx, idx].add(1.0)
+    prob = hist / (jnp.sum(hist, axis=1, keepdims=True) + _EPS)
+    entropy = -jnp.sum(prob * jnp.log(prob + _EPS), axis=1)
+
+    wave = haar_energies_2level(gray)          # (B, 8)
+
+    return jnp.concatenate([
+        jnp.stack([el / et, em / et, eh / et,
+                   (eh + _EPS) / (el + _EPS), slope, anis, entropy], axis=-1),
+        wave,
+    ], axis=-1)
+
+
+def extract_freq_vector(gray):
+    """(B, 256, 256) grayscale [0,1] → (B, 24) standardized frequency features
+    (appv3.py:1722-1728: concat fft+srm, then (v-mean)/(std+eps) with the
+    zero-out guard for flat vectors; std is the unbiased 24-sample std)."""
+    v = jnp.concatenate([fft_features(gray), srm_features(gray)], axis=-1)
+    mean = jnp.mean(v, axis=-1, keepdims=True)
+    std = jnp.std(v, axis=-1, keepdims=True, ddof=1)
+    out = (v - mean) / (std + _EPS)
+    return jnp.where(std < _EPS, jnp.zeros_like(v), out)
