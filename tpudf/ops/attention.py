@@ -76,7 +76,9 @@ def _attention_pallas(q, k, v, scale, *, q_block=256, interpret=False):
     q_block = min(q_block, sq_p)
     sq_p = _round_up(sq_p, q_block)
     skv_p = _round_up(skv, 128)
-    dp = _round_up(d, 128)            # mosaic pads last dim anyway; be explicit
+    # head_dim stays un-padded: mosaic handles sub-128 minor dims internally,
+    # and materializing a 2x padded copy (64→128) costs real HBM traffic.
+    dp = d
 
     def pad(x, target_s):
         s = x.shape[2]

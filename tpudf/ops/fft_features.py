@@ -78,9 +78,11 @@ def _static_masks(h: int, w: int):
     xc = xs - xs.mean()
     slope_w = (xc / (xc ** 2).sum()).astype(np.float32)            # (39,)
 
-    return (jnp.asarray(mask), jnp.asarray(binm),
-            jnp.asarray(bin_counts), jnp.asarray(sect_counts),
-            jnp.asarray(slope_w))
+    # return numpy (not jnp): this function is lru_cached and may first run
+    # inside a jit trace — caching device arrays created there leaks tracers.
+    return (mask, binm.astype(np.float32),
+            bin_counts.astype(np.float32), sect_counts,
+            slope_w)
 
 
 def fft_features(gray):
@@ -89,7 +91,8 @@ def fft_features(gray):
     Matches appv3.py:1634-1705 feature-by-feature.
     """
     b, h, w = gray.shape
-    mask, binm, bin_counts, sect_counts, slope_w = _static_masks(h, w)
+    mask, binm, bin_counts, sect_counts, slope_w = [
+        jnp.asarray(a) for a in _static_masks(h, w)]
 
     f = jnp.fft.fftshift(jnp.fft.fft2(gray.astype(jnp.complex64)),
                          axes=(-2, -1))
@@ -109,13 +112,14 @@ def fft_features(gray):
     slope = mu @ slope_w
 
     # phase entropy: 50-bin histogram over [-pi, pi] (torch.histc semantics:
-    # right-edge value joins the last bin)
+    # right-edge value joins the last bin). Scatter-add is serial on TPU, so
+    # the histogram is 50 masked reductions XLA fuses into one pass.
     nb = 50
     idx = jnp.clip(jnp.floor((phase + math.pi) / (2 * math.pi) * nb),
                    0, nb - 1).astype(jnp.int32)
-    hist = jnp.zeros((b, nb), jnp.float32)
-    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], idx.shape)
-    hist = hist.at[bidx, idx].add(1.0)
+    hist = jnp.stack(
+        [jnp.sum((idx == k).astype(jnp.float32), axis=1) for k in range(nb)],
+        axis=1)
     prob = hist / (jnp.sum(hist, axis=1, keepdims=True) + _EPS)
     entropy = -jnp.sum(prob * jnp.log(prob + _EPS), axis=1)
 

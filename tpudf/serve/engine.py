@@ -1,0 +1,187 @@
+"""Batched multi-expert detection engine.
+
+The reference's image hot path issues ~28+ SERIAL ViT-L forwards per image
+(SURVEY.md §3.1: 9 multicrops + rot view + flip-TTA re-run + 16 patch tiles
++ optional face crop, appv3.py:5117-5230). The TPU-native engine assembles
+every view of every image in the batch into ONE padded device batch, runs a
+single SigLIP forward + a single frequency-expert pass, and fuses/calibrates
+the per-view logits back on device — this collapse is where the >=5x/chip
+target is won (SURVEY.md §7 step 5).
+
+View inventory per image (all device-side, data/pipeline.py):
+  0        full view
+  1..9     multicrops (center/halves/quadrants, ref appv3.py:3315-3350)
+  10       rot90 dual view                (ref :3239-3247)
+  11..20   h-flip of views 0..9 (TTA)     (ref :5194-5212)
+  21       rot90 of flip
+  22..37   4x4 patch-grid tiles           (ref :3381-3462)
+Total 38 views; one (B*38, S, S, 3) forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudf.calib.coral import CoralCutpoints, coral_blend
+from tpudf.core.precision import DEFAULT_POLICY, Policy
+from tpudf.data.pipeline import (make_multicrops, make_patch_grid,
+                                 normalize_siglip, rgb_to_gray, rot90_view)
+from tpudf.models.freq_mlp import apply_freq_mlp
+from tpudf.models.fusion import apply_fusion_linear
+from tpudf.models.heads import apply_binary_head
+from tpudf.models.siglip import SigLIPConfig, siglip_forward
+from tpudf.ops.fft_features import extract_freq_vector
+
+FREQ_TEMP = 1.25        # softens freq-MLP spikes (appv3.py:1162)
+N_CROPS = 9
+PATCH_GRID = 4
+
+
+def _logit(p, eps=1e-6):
+    p = jnp.clip(p, eps, 1 - eps)
+    return jnp.log(p / (1 - p))
+
+
+@dataclasses.dataclass
+class DetectEngine:
+    """Holds params + compiled batched inference graphs."""
+    cfg: SigLIPConfig
+    backbone: Any
+    head: Any
+    freq: Any
+    fusion: Any
+    cuts: CoralCutpoints
+    policy: Policy = DEFAULT_POLICY
+
+    def __post_init__(self):
+        self._detect = jax.jit(functools.partial(
+            _detect_batch, cfg=self.cfg, policy=self.policy, cuts=self.cuts))
+        self._detect_fast = jax.jit(functools.partial(
+            _detect_batch_fast, cfg=self.cfg, policy=self.policy,
+            cuts=self.cuts))
+
+    def predict_batch(self, pixels_uint8: np.ndarray) -> dict:
+        """Full-analysis path: multicrop + rot + flip TTA + patch grid.
+        pixels_uint8: (B, S, S, 3) uint8 → dict of per-image signals
+        (+ per-patch probabilities for the localization heatmap)."""
+        x = jnp.asarray(pixels_uint8)
+        return jax.tree.map(np.asarray, self._detect(
+            self.backbone, self.head, self.freq, self.fusion, x))
+
+    def predict_batch_fast(self, pixels_uint8: np.ndarray) -> dict:
+        """fast_mode (video frames, appv3.py:6409): single view + rot only."""
+        x = jnp.asarray(pixels_uint8)
+        return jax.tree.map(np.asarray, self._detect_fast(
+            self.backbone, self.head, self.freq, self.fusion, x))
+
+
+def _experts(backbone, head, freq, views_flat, cfg, policy):
+    """One fused forward of both experts over (N, S, S, 3) [0,1] views."""
+    feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
+                           policy)["pooled"]
+    z_sig = apply_binary_head(head, feats)
+    fv = extract_freq_vector(rgb_to_gray(views_flat))
+    z_freq = apply_freq_mlp(freq, fv)
+    return z_sig, z_freq
+
+
+def _core_from_views(z_sig_v, z_freq_v, z_rot, weights, fusion, cuts):
+    """detect_core fusion math (appv3.py:3214-3302), batched over images.
+    z_sig_v, z_freq_v: (B, 9); z_rot: (B,)."""
+    z_sig = jnp.sum(z_sig_v * weights, axis=1)
+    z_freq = jnp.sum(z_freq_v * weights, axis=1)
+    base_prob = jax.nn.sigmoid(z_sig)
+    rot_prob = jax.nn.sigmoid(z_rot)
+    visual_prob = 0.6 * base_prob + 0.4 * rot_prob   # dual-view stabilizer
+    z_sig = _logit(visual_prob)
+    p_sig = visual_prob
+    p_freq = jax.nn.sigmoid(z_freq / FREQ_TEMP)
+    z_fused = apply_fusion_linear(fusion, p_sig, p_freq)
+    out = coral_blend(z_fused, cuts)
+    out.update({"z_sig": z_sig, "z_freq": z_freq,
+                "visual_prob": p_sig, "freq_prob": p_freq})
+    return out
+
+
+def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
+    b, s, _, _ = pixels.shape
+    x = pixels.astype(jnp.float32) / 255.0
+
+    crops, weights = make_multicrops(x)                 # (B, 9, S, S, 3)
+    flip = jnp.flip(x, axis=2)
+    crops_f, _ = make_multicrops(flip)
+    patches = make_patch_grid(x, PATCH_GRID)            # (B, 16, S, S, 3)
+
+    views = jnp.concatenate([
+        crops,                                  # 0..8
+        rot90_view(x)[:, None],                 # 9
+        crops_f,                                # 10..18
+        rot90_view(flip)[:, None],              # 19
+        patches,                                # 20..35
+        jnp.rot90(patches, k=1, axes=(2, 3)),   # 36..51 patch rot dual views
+    ], axis=1)
+    nv = views.shape[1]
+    z_sig, z_freq = _experts(backbone, head, freq,
+                             views.reshape(b * nv, s, s, 3), cfg, policy)
+    z_sig = z_sig.reshape(b, nv)
+    z_freq = z_freq.reshape(b, nv)
+
+    main = _core_from_views(z_sig[:, 0:9], z_freq[:, 0:9], z_sig[:, 9],
+                            weights, fusion, cuts)
+    tta = _core_from_views(z_sig[:, 10:19], z_freq[:, 10:19], z_sig[:, 19],
+                           weights, fusion, cuts)
+
+    # TTA mean fusion (appv3.py:5204-5212)
+    p_blend = 0.5 * (main["p_blend"] + tta["p_blend"])
+    p_raw = 0.5 * (main["p_fake_raw"] + tta["p_fake_raw"])
+    p_coral = 0.5 * (main["p_fake_coral"] + tta["p_fake_coral"])
+
+    # patch grid: single-view detect_core per tile with rot dual view
+    # (appv3.py:3381-3462 via :3239-3247)
+    zp = z_sig[:, 20:36]
+    zp_rot = z_sig[:, 36:52]
+    vp = 0.6 * jax.nn.sigmoid(zp) + 0.4 * jax.nn.sigmoid(zp_rot)
+    fp = jax.nn.sigmoid(z_freq[:, 20:36] / FREQ_TEMP)
+    z_patch = apply_fusion_linear(fusion, vp, fp)
+    patch_probs = coral_blend(z_patch, cuts)["p_blend"]  # (B, 16)
+
+    return {
+        "p_blend": p_blend,
+        "p_fake_raw": p_raw,
+        "p_fake_coral": p_coral,
+        "risk_probs": main["risk_probs"],
+        "risk_idx": main["risk_idx"],
+        "entropy": main["entropy"],
+        "visual_prob": main["visual_prob"],
+        "freq_prob": main["freq_prob"],
+        "z_sig": main["z_sig"],
+        "z_freq": main["z_freq"],
+        "patch_probs": patch_probs,
+        "max_patch": jnp.max(patch_probs, axis=1),
+        "patch_mean": jnp.mean(patch_probs, axis=1),
+    }
+
+
+def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
+                       cuts):
+    """fast_mode: full view + rot dual view only (multicrop off)."""
+    b, s, _, _ = pixels.shape
+    x = pixels.astype(jnp.float32) / 255.0
+    views = jnp.stack([x, rot90_view(x)], axis=1)
+    z_sig, z_freq = _experts(backbone, head, freq,
+                             views.reshape(b * 2, s, s, 3), cfg, policy)
+    z_sig = z_sig.reshape(b, 2)
+    z_freq = z_freq.reshape(b, 2)
+    vprob = 0.6 * jax.nn.sigmoid(z_sig[:, 0]) + 0.4 * jax.nn.sigmoid(z_sig[:, 1])
+    p_freq = jax.nn.sigmoid(z_freq[:, 0] / FREQ_TEMP)
+    z_fused = apply_fusion_linear(fusion, vprob, p_freq)
+    out = coral_blend(z_fused, cuts)
+    out.update({"visual_prob": vprob, "freq_prob": p_freq,
+                "z_sig": _logit(vprob), "z_freq": z_freq[:, 0]})
+    return out
