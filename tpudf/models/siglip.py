@@ -146,9 +146,17 @@ def init_siglip(key, cfg: SigLIPConfig):
 def layer_norm(x, p, eps):
     """f32-statistics layer norm regardless of compute dtype.
 
-    Single-pass E[x^2]-E[x]^2 moments so XLA fuses the bf16→f32 cast into one
-    read of the activation instead of materializing an f32 copy and scanning
-    it three times (measured 2.7ms → <1ms per LN at (256,256,768) on v5e)."""
+    On TPU with bf16 activations this dispatches to the Pallas fused kernel
+    (ops/layernorm.py — one HBM read + one write); elsewhere a single-pass
+    E[x^2]-E[x]^2 formulation that XLA fuses well."""
+    if x.dtype == jnp.bfloat16 and x.shape[-1] % 128 == 0:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu:
+            from tpudf.ops.layernorm import layer_norm_fused
+            return layer_norm_fused(x, p["scale"], p["bias"], eps)
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)

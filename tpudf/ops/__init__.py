@@ -1,3 +1,6 @@
-from tpudf.ops.attention import attention, attention_reference
+"""Device op library: attention, layernorm, forensic feature kernels.
 
-__all__ = ["attention", "attention_reference"]
+Import submodules explicitly (e.g. `from tpudf.ops.attention import
+attention`) — the package does not re-export names to avoid shadowing
+submodules.
+"""
