@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from tpudf.core.precision import Policy, DEFAULT_POLICY
-from tpudf.ops.attention import attention
+from tpudf.ops.attention import attention, attention_bshd
 
 
 @dataclasses.dataclass(frozen=True)

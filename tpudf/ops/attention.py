@@ -105,6 +105,102 @@ def _attention_pallas(q, k, v, scale, *, q_block=256, interpret=False):
     return out.reshape(b, h, sq_p, dp)[:, :, :sq, :d]
 
 
+def _attention_pallas_bshd(q, k, v, scale, *, q_block=256, interpret=False):
+    """Layout-native kernel: q,k,v in (B, S, H, D) — the natural layout after
+    slicing a fused QKV projection. Avoids the (B,H,S,D) transpose copies
+    (~300 MB/layer at inference batch sizes) entirely: the grid iterates
+    (batch, head, q-block) and BlockSpecs gather strided (S, D) tiles per
+    head directly from HBM."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    sq_p = _round_up(sq, 128)
+    q_block = min(q_block, sq_p)
+    sq_p = _round_up(sq_p, q_block)
+    skv_p = _round_up(skv, 128)
+
+    def pad(x, target_s):
+        s = x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, target_s - s), (0, 0), (0, 0)))
+
+    # keep the f32 score tile (h, q_block, skv_p) within ~6 MiB of VMEM
+    while h * q_block * skv_p * 4 > 6 * 1024 * 1024 and q_block > 64:
+        q_block //= 2
+    sq_p = _round_up(max(sq_p, q_block), q_block)
+
+    qp, kp, vp = pad(q, sq_p), pad(k, skv_p), pad(v, skv_p)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        # head-major in-VMEM views (swap of major dims — no lane relayout);
+        # mosaic requires dot_general batch dims at position 0
+        qt = jnp.swapaxes(q_ref[0], 0, 1)   # (H, qb, D)
+        kt = jnp.swapaxes(k_ref[0], 0, 1)   # (H, Skv, D)
+        vt = jnp.swapaxes(v_ref[0], 0, 1)
+        s = jax.lax.dot_general(            # (H, qb, Skv), batched over H
+            qt, kt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if skv_p > skv:
+            kv_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(kv_ids < skv, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(            # (H, qb, D)
+            p.astype(vt.dtype), vt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, sq_p // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, h, d), lambda i, n: (i, n, 0, 0)),
+            pl.BlockSpec((1, skv_p, h, d), lambda i, n: (i, 0, 0, 0)),
+            pl.BlockSpec((1, skv_p, h, d), lambda i, n: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, h, d), lambda i, n: (i, n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, h, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
+def _reference_bshd(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_bshd_with_vjp(scale: float, interpret: bool):
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _attention_pallas_bshd(q, k, v, scale, interpret=interpret)
+
+    def fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(lambda q, k, v: _reference_bshd(q, k, v, scale),
+                         q, k, v)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def attention_bshd(q, k, v, scale=None, *, use_pallas=None, interpret=False):
+    """Multi-head attention in (B, S, H, D) layout → (B, S, H, D)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas or interpret:
+        return _fused_bshd_with_vjp(float(scale), bool(interpret))(q, k, v)
+    return _reference_bshd(q, k, v, scale)
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_with_vjp(scale: float, interpret: bool):
     """Pallas forward + XLA-recompute backward.
