@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from tpudf.core.precision import Policy, DEFAULT_POLICY
-from tpudf.ops.attention import attention, attention_bshd
+from tpudf.ops.attention import attention, attention_qkv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -245,10 +245,8 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
     h = layer_norm(x, bp["ln1"], cfg.ln_eps)
     b, s, w = h.shape
     qkv = h @ bp["attn"]["qkv_w"] + bp["attn"]["qkv_b"]
-    qkv = qkv.reshape(b, s, 3, cfg.heads, cfg.head_dim)
-    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
-    o = attention(q, k, v, interpret=interpret)
-    o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+    # transpose-free fused attention straight off the QKV activation
+    o = attention_qkv(qkv, cfg.heads, cfg.head_dim, interpret=interpret)
     x = x + (o @ bp["attn"]["out_w"] + bp["attn"]["out_b"])
     h = layer_norm(x, bp["ln2"], cfg.ln_eps)
     h = gelu_tanh(h @ bp["mlp"]["fc1_w"] + bp["mlp"]["fc1_b"])
