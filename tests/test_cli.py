@@ -1,0 +1,45 @@
+"""CLI smoke tests on synthetic folder datasets (subset-smoke pattern,
+SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def image_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cifake")
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for cls, bias in (("REAL", 0.0), ("FAKE", 0.5)):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(8):
+                arr = np.clip(rng.random((32, 32, 3)) * 0.5 + bias, 0, 1)
+                Image.fromarray((arr * 255).astype(np.uint8)).save(
+                    d / f"{i}.png")
+    return str(root)
+
+
+def test_train_binary_cli(image_dataset, tmp_path):
+    from tpudf.cli.train_binary import main
+    save = str(tmp_path / "run")
+    main(["--data_dir", image_dataset, "--save_dir", save,
+          "--model_size", "test-32", "--epochs", "2", "--batch_size", "8",
+          "--warmup_steps", "2", "--no_augment"])
+    assert os.path.exists(os.path.join(save, "training_log.csv"))
+
+
+def test_infer_cli(image_dataset, tmp_path):
+    from tpudf.cli.infer import main
+    out = str(tmp_path / "reports.jsonl")
+    main(["--input", os.path.join(image_dataset, "val"), "--out", out,
+          "--model_size", "test-32", "--batch_size", "8", "--fast",
+          "--labels_from_dirs"])
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 16
+    rep = json.loads(lines[0])
+    assert "final_label" in rep and "path" in rep

@@ -1,0 +1,136 @@
+"""Batch inference CLI: images or videos → JSON reports.
+
+tpudf equivalent of the reference inference scripts
+(inference_deepfakeface_complete.py, inference_ai_human_images.py, and the
+app's predict entry): loads the expert stack, runs the batched engine over a
+folder/CSV of media, writes a JSONL report + optional metrics vs labels.
+
+Usage:
+  python -m tpudf.cli.infer --input /path/imgs --out reports.jsonl \
+      [--artifacts /path/siglip] [--labels-from-dirs] [--video]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tpudf batch inference")
+    p.add_argument("--input", required=True, help="folder of images/videos")
+    p.add_argument("--out", default="reports.jsonl")
+    p.add_argument("--model_size", default="base-256")
+    p.add_argument("--backbone_ckpt", default=None)
+    p.add_argument("--artifacts", default=None,
+                   help="dir with freq_mlp/fusion_head safetensors + coral "
+                        "jsons (reference artifact layout)")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--video", action="store_true")
+    p.add_argument("--labels_from_dirs", action="store_true",
+                   help="REAL/FAKE parent dirs → compute metrics")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_engine(args):
+    import jax
+    from tpudf.calib.coral import CoralCutpoints
+    from tpudf.core.precision import DEFAULT_POLICY
+    from tpudf.models.freq_mlp import (freq_mlp_from_safetensors,
+                                       init_freq_mlp)
+    from tpudf.models.fusion import (fusion_linear_from_safetensors,
+                                     init_fusion_linear)
+    from tpudf.models.heads import init_binary_head
+    from tpudf.models.siglip import CONFIGS, init_siglip
+    from tpudf.serve.engine import DetectEngine
+
+    cfg = CONFIGS[args.model_size]
+    keys = jax.random.split(jax.random.key(args.seed), 4)
+    if args.backbone_ckpt:
+        from safetensors.numpy import load_file
+        from tpudf.models.convert import from_hf_state_dict
+        backbone = from_hf_state_dict(load_file(args.backbone_ckpt), cfg)
+    else:
+        print("[warn] random backbone (smoke mode)")
+        backbone = init_siglip(keys[0], cfg)
+    head = init_binary_head(keys[1], cfg.width)
+
+    art = args.artifacts
+    if art and os.path.exists(os.path.join(art, "freq_mlp.safetensors")):
+        freq = freq_mlp_from_safetensors(
+            os.path.join(art, "freq_mlp.safetensors"))
+    else:
+        freq = init_freq_mlp(keys[2])
+    if art and os.path.exists(os.path.join(art, "fusion_head.safetensors")):
+        fusion = fusion_linear_from_safetensors(
+            os.path.join(art, "fusion_head.safetensors"))
+    else:
+        fusion = init_fusion_linear(keys[3])
+    cut_path = art and os.path.join(art, "coral_cutpoints.json")
+    if cut_path and os.path.exists(cut_path):
+        temp_path = os.path.join(art, "coral_temp.json")
+        cuts = CoralCutpoints.from_json(
+            cut_path, temp_path if os.path.exists(temp_path) else None)
+    else:
+        cuts = CoralCutpoints.default()
+    return DetectEngine(cfg=cfg, backbone=backbone, head=head, freq=freq,
+                        fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from tpudf.data.datasets import IMG_EXTS, VIDEO_EXTS, _decode_image
+    from tpudf.serve.report import predict_images, predict_video
+
+    engine = build_engine(args)
+    size = engine.cfg.image_size
+
+    if args.video:
+        from tpudf.data.video import sample_video
+        paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
+                 for f in sorted(fs) if f.lower().endswith(VIDEO_EXTS)]
+        with open(args.out, "w") as fo:
+            for p in paths:
+                frames, idxs = sample_video(p, size=size)
+                if frames is None:
+                    continue
+                rep = predict_video(engine, frames)
+                rep["path"] = p
+                fo.write(json.dumps(rep) + "\n")
+        print(f"[done] {len(paths)} videos → {args.out}")
+        return
+
+    paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
+             for f in sorted(fs) if f.lower().endswith(IMG_EXTS)]
+    labels, probs = [], []
+    with open(args.out, "w") as fo:
+        for s in range(0, len(paths), args.batch_size):
+            chunk = paths[s:s + args.batch_size]
+            px = np.stack([_decode_image(p, size) for p in chunk])
+            reports = predict_images(engine, px, fast=args.fast)
+            for p, r in zip(chunk, reports):
+                r["path"] = p
+                fo.write(json.dumps(r) + "\n")
+                if args.labels_from_dirs:
+                    parent = os.path.basename(os.path.dirname(p)).upper()
+                    lab = 1.0 if "FAKE" in parent else 0.0
+                    labels.append(lab)
+                    probs.append(r["final_prob"])
+    print(f"[done] {len(paths)} images → {args.out}")
+    if labels:
+        from tpudf.eval.metrics import binary_metrics
+        from tpudf.eval.stats import bootstrap_ci
+        m = binary_metrics(labels, probs)
+        ci = bootstrap_ci(labels, probs, "auc", n_boot=500)
+        print(json.dumps({"metrics": {k: v for k, v in m.items()
+                                      if not isinstance(v, np.ndarray)},
+                          "auc_ci": ci}, default=float, indent=2))
+
+
+if __name__ == "__main__":
+    main()

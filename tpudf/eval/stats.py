@@ -28,6 +28,9 @@ def bootstrap_ci(labels, probs, metric="auc", n_boot=1000, alpha=0.05,
             v = binary_metrics(y[idx], p[idx], thr)[metric]
         if np.isfinite(v):
             vals.append(v)
+    if not vals:
+        return {"point": float("nan"), "lo": float("nan"),
+                "hi": float("nan"), "n_boot": n_boot, "alpha": alpha}
     vals = np.sort(vals)
     lo = vals[int(alpha / 2 * len(vals))]
     hi = vals[int((1 - alpha / 2) * len(vals)) - 1]
