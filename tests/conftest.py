@@ -21,3 +21,6 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # parity tests compare f32 numerics against torch-CPU; keep matmuls exact
 jax.config.update("jax_default_matmul_precision", "highest")
+# reuse compiles across test runs (engine/forensics graphs are large)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
