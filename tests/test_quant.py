@@ -1,0 +1,34 @@
+"""Int8 inference quantization tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpudf.core.precision import F32_POLICY
+from tpudf.models.siglip import CONFIGS, init_siglip, siglip_forward
+from tpudf.ops.quant import (int8_matmul, quantize_siglip, quantize_weight)
+
+
+def test_int8_matmul_close():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (64, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (128, 256)), jnp.float32)
+    wq = quantize_weight(w)
+    ref = np.asarray(x @ w)
+    got = np.asarray(int8_matmul(x, wq, jnp.float32))
+    # int8 dynamic-range error ~1%
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.02
+
+
+def test_quantized_backbone_cosine():
+    cfg = CONFIGS["test-32"]
+    bb = init_siglip(jax.random.key(0), cfg)
+    qbb = quantize_siglip(bb)
+    px = jnp.asarray(np.random.default_rng(0)
+                     .random((4, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(siglip_forward(bb, px, cfg, F32_POLICY)["pooled"])
+    out = np.asarray(siglip_forward(qbb, px, cfg, F32_POLICY)["pooled"])
+    cos = np.sum(ref * out, 1) / (
+        np.linalg.norm(ref, axis=1) * np.linalg.norm(out, axis=1))
+    assert cos.min() > 0.995

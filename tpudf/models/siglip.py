@@ -242,15 +242,19 @@ def _mha(x_q, x_kv, heads, in_w, in_b, out_w, out_b, *, policy, interpret=False)
 
 
 def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
+    from tpudf.ops.quant import int8_matmul, is_quantized
+    quant = is_quantized(bp)
+    mm_ = (lambda a, w: int8_matmul(a, w, a.dtype)) if quant \
+        else (lambda a, w: a @ w)
     h = layer_norm(x, bp["ln1"], cfg.ln_eps)
     b, s, w = h.shape
-    qkv = h @ bp["attn"]["qkv_w"] + bp["attn"]["qkv_b"]
+    qkv = mm_(h, bp["attn"]["qkv_w"]) + bp["attn"]["qkv_b"]
     # transpose-free fused attention straight off the QKV activation
     o = attention_qkv(qkv, cfg.heads, cfg.head_dim, interpret=interpret)
-    x = x + (o @ bp["attn"]["out_w"] + bp["attn"]["out_b"])
+    x = x + (mm_(o, bp["attn"]["out_w"]) + bp["attn"]["out_b"])
     h = layer_norm(x, bp["ln2"], cfg.ln_eps)
-    h = gelu_tanh(h @ bp["mlp"]["fc1_w"] + bp["mlp"]["fc1_b"])
-    x = x + (h @ bp["mlp"]["fc2_w"] + bp["mlp"]["fc2_b"])
+    h = gelu_tanh(mm_(h, bp["mlp"]["fc1_w"]) + bp["mlp"]["fc1_b"])
+    x = x + (mm_(h, bp["mlp"]["fc2_w"]) + bp["mlp"]["fc2_b"])
     return x
 
 
