@@ -50,6 +50,25 @@ def _clamp(x, default=0.5):
     return float(np.clip(x, 0.0, 1.0))
 
 
+def stabilized_fusion(raw, coral, v, f, max_patch, patch_mean):
+    """False-positive shield: safer blend for REAL-looking images
+    (appv3.py:3191-3208): attenuate coral/raw when the freq & visual heads
+    are quiet and the patch grid is flat; soften isolated patch spikes."""
+    raw = float(raw)
+    coral = float(coral)
+    spread = max_patch - patch_mean
+    if f < 0.55 and v < 0.55 and spread < 0.18:
+        coral *= 0.40
+        raw *= 0.80
+    if max_patch > 0.90 and f < 0.55:
+        raw *= 0.90
+        coral *= 0.60
+    final = 0.55 * raw + 0.45 * coral
+    if f < 0.45 and v < 0.50:
+        final *= 0.65
+    return float(np.clip(final, 0.0, 1.0))
+
+
 def band_and_risk(label, p_final, forensic_score):
     if label == "FAKE":
         if forensic_score >= 0.75 or p_final >= 0.65:
