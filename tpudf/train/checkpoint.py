@@ -66,6 +66,69 @@ def save_head_safetensors(path: str, params: dict):
     save_file(flat, path)
 
 
+def load_state_filtered(sd: dict, template: dict, log_fn=print):
+    """Strict→filtered state loading: keep only keys whose shapes match the
+    template, report the rest (appv3.py:1257-1263 `_filter_state_for_model`
+    + inference_ai_human_images.py:841-857 non-strict fallback)."""
+    import jax
+    flat_t = _flatten(template)
+    flat_s = _flatten(sd)
+    out = dict(flat_t)
+    missing, mismatched, used = [], [], 0
+    for k, v in flat_t.items():
+        if k not in flat_s:
+            missing.append(k)
+        elif np.shape(flat_s[k]) != np.shape(v):
+            mismatched.append((k, np.shape(flat_s[k]), np.shape(v)))
+        else:
+            out[k] = np.asarray(flat_s[k])
+            used += 1
+    if missing:
+        log_fn(f"[ckpt] {len(missing)} keys missing (kept init): "
+               f"{missing[:5]}…")
+    if mismatched:
+        log_fn(f"[ckpt] {len(mismatched)} shape mismatches skipped: "
+               f"{mismatched[:3]}…")
+    log_fn(f"[ckpt] loaded {used}/{len(flat_t)} tensors")
+    return _unflatten(out, template)
+
+
+def detect_feature_dim(sd: dict, candidates=(768, 1024, 1152)) -> int | None:
+    """Infer the backbone feature dim from a head state dict
+    (inference_ai_human_images.py:804-827 checkpoint auto-detection)."""
+    for k, v in _flatten(sd).items():
+        shp = np.shape(v)
+        if len(shp) == 2:
+            for c in candidates:
+                if c in shp:
+                    return c
+    return None
+
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}.{k}" if prefix else str(k)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}.{i}"))
+    else:
+        flat[prefix] = tree
+    return flat
+
+
+def _unflatten(flat: dict, template, prefix=""):
+    if isinstance(template, dict):
+        return {k: _unflatten(flat, v, f"{prefix}.{k}" if prefix else str(k))
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        out = [_unflatten(flat, v, f"{prefix}.{i}" if prefix else str(i))
+               for i, v in enumerate(template)]
+        return type(template)(out)
+    return flat[prefix]
+
+
 def _to_jsonable(x):
     if isinstance(x, dict):
         return {k: _to_jsonable(v) for k, v in x.items()}

@@ -28,17 +28,24 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(lr=1e-4, weight_decay=1e-4, warmup_steps=100,
-                   total_steps=10_000, grad_clip=1.0, schedule="warmup_cosine"):
-    """AdamW + warmup-cosine (hidf_video_classifier.py:2941-2948 analogue)."""
+                   total_steps=10_000, grad_clip=1.0,
+                   schedule="warmup_cosine", kind="adamw"):
+    """AdamW + warmup-cosine (hidf_video_classifier.py:2941-2948 analogue).
+
+    kind="adafactor" gives the memory-lean optimizer state — the TPU-native
+    answer to the reference's bitsandbytes AdamW8bit
+    (siglip2siddataset.py:1219-1225): factored second moments instead of
+    quantized full-size state."""
     if schedule == "warmup_cosine":
         sched = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
     else:
         sched = lr
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(sched, weight_decay=weight_decay),
-    )
+    if kind == "adafactor":
+        inner = optax.adafactor(sched, weight_decay_rate=weight_decay)
+    else:
+        inner = optax.adamw(sched, weight_decay=weight_decay)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), inner)
 
 
 def init_train_state(params, optimizer, ema_decay=None):
