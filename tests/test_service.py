@@ -1,0 +1,58 @@
+"""Micro-batching inference service tests."""
+
+import threading
+
+import numpy as np
+import pytest
+import jax
+
+from tpudf.calib.coral import CoralCutpoints
+from tpudf.core.precision import F32_POLICY
+from tpudf.models.freq_mlp import init_freq_mlp
+from tpudf.models.fusion import init_fusion_linear
+from tpudf.models.heads import init_binary_head
+from tpudf.models.siglip import CONFIGS, init_siglip
+from tpudf.serve.engine import DetectEngine
+from tpudf.serve.service import DetectService
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = CONFIGS["test-32"]
+    k = jax.random.split(jax.random.key(0), 4)
+    engine = DetectEngine(cfg=cfg, backbone=init_siglip(k[0], cfg),
+                          head=init_binary_head(k[1], cfg.width),
+                          freq=init_freq_mlp(k[2]),
+                          fusion=init_fusion_linear(k[3]),
+                          cuts=CoralCutpoints.default(), policy=F32_POLICY)
+    svc = DetectService(engine, max_batch=8, max_wait_ms=30)
+    yield svc
+    svc.close()
+
+
+def test_concurrent_requests_batched(service):
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def call(i):
+        px = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        results[i] = service.predict(px, fast=True, timeout=300)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6
+    for r in results.values():
+        assert "final_label" in r
+    stats = service.snapshot_stats()
+    assert stats["requests"] >= 6
+    # micro-batching actually grouped some requests
+    assert stats["mean_batch_size"] >= 1.0
+
+
+def test_single_full_request(service):
+    px = np.random.default_rng(1).integers(0, 256, (32, 32, 3), np.uint8)
+    r = service.predict(px, fast=False, timeout=300)
+    assert "patch_probs" in r

@@ -1,0 +1,118 @@
+"""Production micro-batching inference service.
+
+The reference serves one request at a time through Gradio with a thread pool
+for video frames (appv3.py:6404-6457). The TPU-native serving shape is a
+micro-batching queue: requests accumulate up to `max_batch` or `max_wait_ms`
+and run as one padded device batch — the same collapse that wins the
+throughput target, applied at the serving layer.
+
+Thread-safe; single background worker owns the TPU (JAX dispatch is not
+free-threaded). Latency/throughput counters included (the reference has no
+serving observability at all — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Pending:
+    pixels: object
+    fast: bool
+    event: threading.Event = field(default_factory=threading.Event)
+    result: dict | None = None
+    error: Exception | None = None
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+class DetectService:
+    def __init__(self, engine, *, max_batch=32, max_wait_ms=5.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "images": 0,
+                      "total_latency_s": 0.0, "max_latency_s": 0.0}
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------ client
+
+    def predict(self, pixels_uint8, fast=False, timeout=60.0) -> dict:
+        """Blocking single-image predict; (S, S, 3) uint8 → report dict."""
+        p = _Pending(pixels_uint8, fast)
+        self._q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("detect service timeout")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------ worker
+
+    def _drain(self):
+        items = []
+        try:
+            items.append(self._q.get(timeout=0.1))
+        except queue.Empty:
+            return items
+        deadline = time.perf_counter() + self.max_wait
+        while len(items) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self):
+        import numpy as np
+        from tpudf.serve.report import predict_images
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            for fast in (False, True):
+                group = [p for p in items if p.fast == fast]
+                if not group:
+                    continue
+                try:
+                    batch = np.stack([np.asarray(p.pixels) for p in group])
+                    reports = predict_images(self.engine, batch, fast=fast)
+                    now = time.perf_counter()
+                    with self._lock:
+                        self.stats["batches"] += 1
+                        self.stats["images"] += len(group)
+                        self.stats["requests"] += len(group)
+                    for p, r in zip(group, reports):
+                        p.result = r
+                        lat = now - p.enqueued_at
+                        with self._lock:
+                            self.stats["total_latency_s"] += lat
+                            self.stats["max_latency_s"] = max(
+                                self.stats["max_latency_s"], lat)
+                        p.event.set()
+                except Exception as e:          # pragma: no cover
+                    for p in group:
+                        p.error = e
+                        p.event.set()
+
+    def snapshot_stats(self) -> dict:
+        with self._lock:
+            s = dict(self.stats)
+        if s["requests"]:
+            s["mean_latency_s"] = s["total_latency_s"] / s["requests"]
+            s["mean_batch_size"] = s["images"] / max(s["batches"], 1)
+        return s
