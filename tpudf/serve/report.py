@@ -183,12 +183,31 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     return reports
 
 
+# sora escalation constants (appv3.py:163-185 defaults)
+SORA_TAMPERED_THRESH = 0.15
+SORA_FAKE_THRESH = 0.20
+SORA_ODDS = {"low": 1.12, "med": 1.25, "high": 1.45}
+
+
+def _odds(p, eps=1e-6):
+    p = float(np.clip(p, eps, 1 - eps))
+    return p / (1 - p)
+
+
+def _from_odds(o):
+    return float(o / (1 + o))
+
+
 def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
                   decision: DecisionConfig = DEFAULT_DECISION,
-                  agg_mode="topk_mean", strictness="balanced") -> dict:
+                  agg_mode="topk_mean", strictness="balanced",
+                  temporal_signals=True, flow_signals=False) -> dict:
     """frames_uint8: (T, S, S, 3) sampled frames → video-level report.
     Mirrors the video branch (appv3.py:6254-6630): fast per-frame scoring,
-    aggregation, full analysis on the chosen frame."""
+    aggregation, temporal/sora battery, odds-multiplier escalation, full
+    analysis on the chosen frame."""
+    from tpudf.fuse.temporal import (aggregate_sora, compute_temporal_signals,
+                                     host_flow_signals)
     from tpudf.fuse.video_agg import (aggregate_video_probs,
                                       temporal_frame_weights)
     frame_reports = predict_images(engine, frames_uint8, decision, fast=True)
@@ -196,12 +215,73 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
     preds = [r["final_label"] for r in frame_reports]
     diffs = np.abs(np.diff(frames_uint8.astype(np.float32), axis=0)).mean(
         axis=(1, 2, 3))
-    weights = temporal_frame_weights(np.concatenate([[diffs.mean() if len(diffs) else 0.0], diffs]))
+    weights = temporal_frame_weights(np.concatenate(
+        [[diffs.mean() if len(diffs) else 0.0], diffs]))
     video_prob, video_label, chosen, metrics = aggregate_video_probs(
         probs, preds, agg_mode=agg_mode, strictness=strictness,
         weights=weights)
+
+    # temporal / sora battery (device graph + optional host flow family)
+    sora = {"sora_likelihood": 0.0, "temporal_consistency_score": 0.0,
+            "sora_flag": False}
+    signals = {}
+    if temporal_signals and len(frames_uint8) >= 3:
+        x = jnp.asarray(frames_uint8).astype(jnp.float32) / 255.0
+        if x.shape[1] != 256:
+            x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "bilinear")
+        embeds = None
+        try:
+            from tpudf.models.siglip import siglip_forward
+            from tpudf.data.pipeline import normalize_siglip
+            xs = jax.image.resize(
+                jnp.asarray(frames_uint8).astype(jnp.float32) / 255.0,
+                (len(frames_uint8), engine.cfg.image_size,
+                 engine.cfg.image_size, 3), "bilinear")
+            feats = siglip_forward(engine.backbone, normalize_siglip(xs),
+                                   engine.cfg, engine.policy)["pooled"]
+            embeds = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True)
+                              + 1e-6)
+        except Exception:
+            pass
+        signals = {k: float(v) for k, v in
+                   compute_temporal_signals(x, embeds).items()}
+        if flow_signals:
+            signals.update(host_flow_signals(list(frames_uint8)))
+        sora = aggregate_sora(signals)
+
+    # escalation cascade (appv3.py:6507-6534)
+    tc = sora["temporal_consistency_score"]
+    sl = sora["sora_likelihood"]
+    if tc > 0.75:
+        video_prob = _from_odds(_odds(video_prob) * 1.18)
+    elif tc > 0.60:
+        video_prob = _from_odds(_odds(video_prob) * 1.12)
+    if tc > 0.70 and video_label in ("REAL", "TAMPERED", "INCONCLUSIVE"):
+        video_label = "TAMPERED"
+    if sl >= SORA_TAMPERED_THRESH:
+        if sl >= SORA_FAKE_THRESH:
+            video_prob = _from_odds(_odds(video_prob) * SORA_ODDS["high"])
+        elif sl >= SORA_TAMPERED_THRESH + 0.15:
+            video_prob = _from_odds(_odds(video_prob) * SORA_ODDS["med"])
+        else:
+            video_prob = _from_odds(_odds(video_prob) * SORA_ODDS["low"])
+    if sl > SORA_FAKE_THRESH:
+        video_label = "FAKE"
+    elif sl >= SORA_TAMPERED_THRESH and video_label in (
+            "REAL", "INCONCLUSIVE", "UNCERTAIN"):
+        video_label = "TAMPERED"
+    elif sora["sora_flag"] and video_label in ("REAL", "INCONCLUSIVE",
+                                               "UNCERTAIN"):
+        video_label = "TAMPERED"
+
     chosen_report = predict_images(engine, frames_uint8[chosen:chosen + 1],
                                    decision, fast=False)[0]
+    # chosen-frame escalation (appv3.py:6495-6505)
+    if video_label == "REAL" and chosen_report["final_label"] in (
+            "TAMPERED", "FAKE"):
+        video_label = chosen_report["final_label"]
+        video_prob = max(video_prob, chosen_report["final_prob"])
+
     return {
         "video_label": video_label,
         "video_prob": float(video_prob),
@@ -209,5 +289,9 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
         "frame_probs": probs.tolist(),
         "frame_labels": preds,
         "aggregation": metrics,
+        "temporal_signals": signals,
+        "sora_likelihood": sl,
+        "temporal_consistency_score": tc,
+        "sora_flag": sora["sora_flag"],
         "chosen_frame_report": chosen_report,
     }
