@@ -25,6 +25,35 @@ def test_pallas_matches_reference(b, h, s, d):
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("s,h,d", [
+    (256, 12, 64),     # base-256
+    (576, 16, 64),     # large-384 (qb falls back to 64: 576 % 256 != 0)
+    (1024, 16, 72),    # so400m-512
+])
+def test_qkv_fused_matches_reference(s, h, d):
+    from tpudf.ops.attention import _attention_qkv_pallas, _reference_qkv
+    w = h * d
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((1, s, 3 * w)), jnp.float32)
+    ref = _reference_qkv(qkv, h, d, d ** -0.5)
+    out = _attention_qkv_pallas(qkv, h, d, d ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_qkv_fused_grad_flows():
+    from tpudf.ops.attention import attention_qkv
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.standard_normal((1, 64, 3 * 64)), jnp.float32)
+
+    def loss(t):
+        return jnp.sum(attention_qkv(t, 2, 32, interpret=True) ** 2)
+
+    g = jax.grad(loss)(qkv)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
 def test_pallas_grad_flows():
     """Attention participates in head-training graphs; make sure the padded
     kernel is differentiable (interpret mode on CPU)."""
