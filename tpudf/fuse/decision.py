@@ -201,6 +201,177 @@ def classify_three_way(fake_score, real_prior_v3, forensic_score, cfa_fake,
     return "REAL"
 
 
+def full_label_cascade(s: dict, cfg: DecisionConfig = DEFAULT_DECISION):
+    """The complete ordered label-policy cascade of the v5 app
+    (appv3.py:5654-5911), as one pure function over a signal dict.
+
+    Expected keys (missing → sensible neutral): p_final, p_global,
+    patch_mean, patch_spread, head_delta, risk_idx, entropy, forensic,
+    cfa_fake, perlin, grain, fft_conf, real_prior_v3, jpeg_resid_v3,
+    esrgan, sat_peak, jpeg_q, face_retouch, exposure, render, hc,
+    texture_noise, image_gen, face_p_fake, prnu_scaled, visual_prob,
+    freq_prob.
+
+    Returns dict: label, code, band, band_text, band_color, risk_level,
+    p_final (possibly escalated), trace (ordered list of fired rules).
+    """
+    g = lambda k, d=None: s.get(k, d)
+    p_final = _clamp(g("p_final", 0.5))
+    forensic = _clamp(g("forensic", 0.5))
+    trace = []
+
+    # base thresholds (appv3.py:5660-5666)
+    if p_final >= cfg.final_fake_thresh:
+        label = "FAKE"
+    elif p_final <= cfg.final_real_thresh:
+        label = "REAL"
+    else:
+        label = "TAMPERED"
+
+    # uncertain / inconclusive (:5668-5695)
+    if is_inconclusive(p_final, _clamp(g("p_global", p_final)),
+                       _clamp(g("patch_mean", 0.5)),
+                       int(g("risk_idx", 2) or 2),
+                       float(g("entropy", 0.0) or 0.0),
+                       float(g("head_delta", 0.0) or 0.0)) \
+            and not cfg.disable_inconclusive:
+        label = "INCONCLUSIVE"
+        trace.append("inconclusive")
+    elif is_uncertain(p_final, int(g("risk_idx", 2) or 2),
+                      _clamp(g("patch_mean", 0.5)),
+                      float(g("head_delta", 0.0) or 0.0)) \
+            and not cfg.disable_inconclusive:
+        label = "UNCERTAIN"
+        trace.append("uncertain")
+
+    # RBR → TAMPERED when base REAL-ish (:5698-5737)
+    rbr_label, _ = classify_rbr(
+        p_final, g("real_prior_v3", 0.0), forensic, g("cfa_fake", 0.5),
+        g("perlin", 0.0), g("grain", 0.0), g("fft_conf", 0.5),
+        g("patch_mean", 0.5), g("patch_spread", 0.0))
+    if rbr_label == "RBR" and label not in ("INCONCLUSIVE", "UNCERTAIN",
+                                            "FAKE"):
+        label = "TAMPERED"
+        trace.append("rbr")
+
+    cfa = g("cfa_fake")
+    # CFA overrides (:5740-5760)
+    if cfa is not None and cfa < 0.20:
+        label = "REAL"
+        trace.append("cfa_real_override")
+    if cfa is not None and cfa >= 0.85 and p_final >= 0.70 \
+            and forensic >= 0.60:
+        label = "FAKE"
+        trace.append("cfa_fake_override")
+
+    # improvements 1-7 (:5766-5800)
+    if g("cfa_fake") is not None and g("grain") is not None \
+            and g("jpeg_resid_v3") is not None \
+            and g("cfa_fake") < 0.18 and g("grain") > 0.80 \
+            and g("jpeg_resid_v3") < 0.002:
+        label = "REAL"
+        trace.append("real_hard_override")
+    if g("esrgan") is not None and g("esrgan") > 0.45 and label != "FAKE":
+        label = "TAMPERED"
+        trace.append("esrgan")
+    if g("sat_peak") is not None and g("sat_peak") > 0.50 and label == "REAL":
+        label = "TAMPERED"
+        trace.append("saturation")
+    if g("jpeg_q") is not None and g("jpeg_q") > 0.60 and label != "FAKE":
+        label = "TAMPERED"
+        trace.append("jpeg_q")
+    if g("face_retouch") is not None and g("face_retouch") > 0.55 \
+            and label == "REAL":
+        label = "TAMPERED"
+        trace.append("face_retouch")
+    if g("exposure") is not None and g("exposure") < 0.30 \
+            and g("real_prior_v3") is not None \
+            and g("real_prior_v3") > 0.30 and label != "FAKE":
+        label = "TAMPERED"
+        trace.append("exposure")
+    if float(g("render", 0.0) or 0.0) > 0.70 and label == "REAL":
+        label = "TAMPERED"
+        trace.append("render")
+
+    # three-way classifier override (:5803-5820)
+    if label not in ("INCONCLUSIVE", "UNCERTAIN"):
+        label = classify_three_way(
+            p_final, g("real_prior_v3"), forensic, g("cfa_fake"),
+            g("perlin"), g("grain"), g("fft_conf"), g("patch_mean"),
+            g("patch_spread"), g("jpeg_q"), g("hc"), g("texture_noise"))
+        trace.append(f"three_way={label}")
+
+    # image-only generator attribution (:5822-5826; env defaults 187-197)
+    ig = float(g("image_gen", 0.0) or 0.0)
+    if ig >= 0.70 and p_final >= 0.50:
+        label = "FAKE"
+        trace.append("image_gen_fake")
+    elif ig >= 0.45 and label in ("REAL", "INCONCLUSIVE", "UNCERTAIN"):
+        label = "TAMPERED"
+        trace.append("image_gen_tampered")
+
+    # face escalation (:5828-5832)
+    override_label = None
+    fpf = g("face_p_fake")
+    if fpf is not None and fpf > 0.65:
+        label = "FAKE"
+        override_label = "FAKE"
+        p_final = max(p_final, float(fpf) * 0.9)
+        trace.append("face_escalation")
+
+    # real gate + model escalation (:5836-5876)
+    gate_ok = real_gate(p_final, forensic, g("jpeg_q"), g("hc"),
+                        g("prnu_scaled"), g("patch_spread"))
+    if label == "REAL" and not gate_ok:
+        label = "TAMPERED"
+        trace.append("real_gate_block")
+    vp = float(g("visual_prob", 0.0) or 0.0)
+    fp = float(g("freq_prob", 0.0) or 0.0)
+    pm = _clamp(g("patch_mean", 0.0))
+    if label == "REAL" and (vp > 0.65 or fp > 0.65) and pm > 0.60:
+        label = "FAKE" if p_final > 0.60 else "TAMPERED"
+        override_label = label
+        trace.append("model_escalation")
+    votes = tamper_votes(forensic, g("jpeg_q"), g("hc"))
+    real_ok = real_pass(g("cfa_fake"), g("prnu_scaled"), g("real_prior_v3"))
+    if label == "TAMPERED" and votes >= 2 and forensic > 0.70 \
+            and (vp > 0.65 or fp > 0.65):
+        label = "FAKE"
+        override_label = "FAKE"
+        p_final = max(p_final, 0.70)
+        trace.append("tamper_to_fake")
+    if label == "TAMPERED" and votes < 2:
+        label = "REAL"
+        if override_label in (None, "TAMPERED"):
+            override_label = "REAL"
+        trace.append("tamper_votes_low")
+    if label == "REAL" and votes < 2 and override_label is None:
+        override_label = "REAL"
+
+    # final consistency pass (:5890-5911)
+    label, code, band_text, band_color, band, risk = finalize_label_and_risk(
+        label, p_final, forensic, allow_real=gate_ok,
+        override_label=override_label, cfg=cfg)
+    if label == "TAMPERED" and votes < 2:
+        label = "REAL"
+        code = 0.0
+        band_text, band_color, band, risk = traffic_light_label(
+            label, p_final, forensic)
+        trace.append("final_tamper_votes_low")
+    if (cfg.disable_inconclusive and label in ("INCONCLUSIVE", "UNCERTAIN")) \
+            or (cfg.disable_tampered and label in ("TAMPERED",)):
+        label = "FAKE" if p_final >= cfg.final_fake_thresh else "REAL"
+        code = LABEL_CODES[label]
+        band_text, band_color, band, risk = traffic_light_label(
+            label, p_final, forensic)
+        trace.append("binary_guard")
+
+    return {"label": label, "code": code, "band": band,
+            "band_text": band_text, "band_color": band_color,
+            "risk_level": risk, "p_final": p_final, "trace": trace,
+            "tamper_votes": votes, "real_gate": gate_ok}
+
+
 def finalize_label_and_risk(label, p_fake, forensic_val, allow_real=True,
                             override_label=None,
                             cfg: DecisionConfig = DEFAULT_DECISION):

@@ -22,8 +22,7 @@ import numpy as np
 from tpudf.fuse.bayesian import bayesian_fuse_v2, dirichlet_fuse
 from tpudf.fuse.decision import (DecisionConfig, DEFAULT_DECISION,
                                  classify_rbr, classify_three_way,
-                                 finalize_label_and_risk, real_gate,
-                                 real_pass, tamper_votes)
+                                 full_label_cascade)
 from tpudf.fuse.verdict import decide_verdict
 from tpudf.ops.forensics import forensic_battery, image_generator_likelihood
 from tpudf.serve.engine import DetectEngine
@@ -101,7 +100,8 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
         head_delta = abs(visual[i] - freq[i])
         prnu_scaled = float(np.clip(fb["prnu_strength"][i] / 0.8, 0, 1))
 
-        # three-way + RBR rule tables
+        # diagnostics: three-way + RBR rule-table outputs (also applied
+        # inside the cascade)
         three_way = classify_three_way(
             p_final, fb["real_prior_v3"][i], forensic_score[i],
             fb["cfa_fake"][i], fb["perlin"][i], fb["grain"][i],
@@ -113,34 +113,45 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
             fb["cfa_fake"][i], fb["perlin"][i], fb["grain"][i],
             fb["multiscale_fft"][i], patch_mean[i], patch_spread[i])
 
-        # uncertainty guard (appv3.py:5654-5659)
-        label = three_way
-        if float(diri["uncertainty"][i]) > 0.40 and 0.35 < p_final < 0.65:
-            label = "INCONCLUSIVE"
-        # gates
-        if label != "INCONCLUSIVE":
-            if real_gate(p_final, forensic_score[i], fb["jpeg_q_mismatch"][i],
-                         fb["histogram_consistency"][i], prnu_scaled,
-                         patch_spread[i]):
-                label = "REAL"
-            elif tamper_votes(forensic_score[i], fb["jpeg_q_mismatch"][i],
-                              fb["histogram_consistency"][i]) >= 2 \
-                    and label == "REAL":
-                label = "TAMPERED"
-            if label != "REAL" and p_final < 0.45 and real_pass(
-                    fb["cfa_fake"][i], prnu_scaled, fb["real_prior_v3"][i]):
-                label = "REAL"
-
-        final_label, code, band_text, band_color, band, risk = \
-            finalize_label_and_risk(label, p_final, forensic_score[i],
-                                    cfg=decision)
+        cascade = full_label_cascade({
+            "p_final": p_final,
+            "p_global": float(np.asarray(core["p_fake_coral"])[i]),
+            "patch_mean": float(patch_mean[i]),
+            "patch_spread": float(patch_spread[i]),
+            "head_delta": float(head_delta),
+            "risk_idx": int(np.asarray(core["risk_idx"])[i]),
+            "entropy": float(np.asarray(core["entropy"])[i]),
+            "forensic": float(forensic_score[i]),
+            "cfa_fake": float(fb["cfa_fake"][i]),
+            "perlin": float(fb["perlin"][i]),
+            "grain": float(fb["grain"][i]),
+            "fft_conf": float(fb["multiscale_fft"][i]),
+            "real_prior_v3": float(fb["real_prior_v3"][i]),
+            "jpeg_resid_v3": float(fb["jpeg_residual"][i]),
+            "esrgan": float(fb["esrgan_grid"][i]),
+            "sat_peak": float(fb["saturation_peak"][i]),
+            "jpeg_q": float(fb["jpeg_q_mismatch"][i]),
+            "exposure": float(fb["exposure_variation"][i]),
+            "hc": float(fb["histogram_consistency"][i]),
+            "texture_noise": float(fb["texture_noise"][i]),
+            "image_gen": float(gen[i]),
+            "prnu_scaled": prnu_scaled,
+            "visual_prob": float(visual[i]),
+            "freq_prob": float(freq[i]),
+        }, decision)
+        final_label = cascade["label"]
+        p_final = cascade["p_final"]
 
         report = {
             "final_label": final_label,
-            "prediction_code": code,
+            "prediction_code": cascade["code"],
             "final_prob": p_final,
-            "band": band, "band_text": band_text, "band_color": band_color,
-            "risk_level": risk,
+            "band": cascade["band"], "band_text": cascade["band_text"],
+            "band_color": cascade["band_color"],
+            "risk_level": cascade["risk_level"],
+            "label_trace": cascade["trace"],
+            "tamper_votes": cascade["tamper_votes"],
+            "real_gate": cascade["real_gate"],
             "risk_idx": int(np.asarray(core["risk_idx"])[i]),
             "risk_probs": np.asarray(core["risk_probs"])[i].tolist(),
             "entropy": float(np.asarray(core["entropy"])[i]),
