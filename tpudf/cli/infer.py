@@ -21,7 +21,10 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="tpudf batch inference")
-    p.add_argument("--input", required=True, help="folder of images/videos")
+    p.add_argument("--input", required=True,
+                   help="folder of images/videos, or a CSV with columns "
+                        "path[,label] (inference_ai_human_images.py-style "
+                        "metadata input)")
     p.add_argument("--out", default="reports.jsonl")
     p.add_argument("--model_size", default="base-256")
     p.add_argument("--backbone_ckpt", default=None)
@@ -105,8 +108,18 @@ def main(argv=None):
         print(f"[done] {len(paths)} videos → {args.out}")
         return
 
-    paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
-             for f in sorted(fs) if f.lower().endswith(IMG_EXTS)]
+    csv_labels = {}
+    if os.path.isfile(args.input) and args.input.lower().endswith(".csv"):
+        import csv as _csv
+        with open(args.input) as f:
+            rows = list(_csv.DictReader(f))
+        paths = [r["path"] for r in rows]
+        for r in rows:
+            if "label" in r and r["label"] != "":
+                csv_labels[r["path"]] = float(r["label"])
+    else:
+        paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
+                 for f in sorted(fs) if f.lower().endswith(IMG_EXTS)]
     labels, probs = [], []
     with open(args.out, "w") as fo:
         for s in range(0, len(paths), args.batch_size):
@@ -116,7 +129,10 @@ def main(argv=None):
             for p, r in zip(chunk, reports):
                 r["path"] = p
                 fo.write(json.dumps(r) + "\n")
-                if args.labels_from_dirs:
+                if p in csv_labels:
+                    labels.append(csv_labels[p])
+                    probs.append(r["final_prob"])
+                elif args.labels_from_dirs:
                     parent = os.path.basename(os.path.dirname(p)).upper()
                     lab = 1.0 if "FAKE" in parent else 0.0
                     labels.append(lab)

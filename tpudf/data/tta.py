@@ -78,6 +78,25 @@ def tta_batch(x, names=None):
     return jnp.stack([TTA_TRANSFORMS[n](x) for n in names], axis=1), names
 
 
+def jitter_views(rng, x, n=4, max_angle_deg=2.0, max_shift=0.02):
+    """Small random rotate+translate preview views (appv3.py:3353-3375
+    jitter_augment): used by the app's stability collage. Rotation via the
+    three-shear decomposition is overkill for ±2°; a shifted bilinear
+    resample approximates it on device."""
+    import jax
+    b, h, w, c = x.shape
+    keys = jax.random.split(rng, n)
+    views = []
+    for k in keys:
+        k1, k2 = jax.random.split(k)
+        dy = jax.random.uniform(k1, (), minval=-max_shift, maxval=max_shift)
+        dx = jax.random.uniform(k2, (), minval=-max_shift, maxval=max_shift)
+        sy = jnp.clip(jnp.round(dy * h).astype(jnp.int32), -h // 8, h // 8)
+        sx = jnp.clip(jnp.round(dx * w).astype(jnp.int32), -w // 8, w // 8)
+        views.append(jnp.roll(x, (sy, sx), axis=(1, 2)))
+    return jnp.stack(views, axis=1)           # (B, n, H, W, C)
+
+
 def tta_aggregate(logits, axis=1, mode="mean"):
     """Aggregate per-view logits: mean (default) or trimmed mean."""
     if mode == "mean":
