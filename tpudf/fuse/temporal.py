@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpudf.ops.forensics import (_block_stats, extract_prnu, gaussian_blur,
-                                 laplacian, sobel_mag)
+from tpudf.ops.forensics import (_block_stats, gaussian_blur, laplacian,
+                                 sobel_mag)
 
 
 def _step_corr(maps):

@@ -21,7 +21,6 @@ reference exactly; see each docstring's anchor.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

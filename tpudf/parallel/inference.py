@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpudf.core.mesh import DATA_AXIS, make_mesh
+from tpudf.core.mesh import DATA_AXIS
 
 
 class DataParallelRunner:

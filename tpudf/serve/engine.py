@@ -9,13 +9,13 @@ the per-view logits back on device — this collapse is where the >=5x/chip
 target is won (SURVEY.md §7 step 5).
 
 View inventory per image (all device-side, data/pipeline.py):
-  0        full view
-  1..9     multicrops (center/halves/quadrants, ref appv3.py:3315-3350)
-  10       rot90 dual view                (ref :3239-3247)
-  11..20   h-flip of views 0..9 (TTA)     (ref :5194-5212)
-  21       rot90 of flip
-  22..37   4x4 patch-grid tiles           (ref :3381-3462)
-Total 38 views; one (B*38, S, S, 3) forward.
+  0..8     9 multicrops (center/halves/quadrants, ref appv3.py:3315-3350)
+  9        rot90 dual view of the full image     (ref :3239-3247)
+  10..18   h-flip multicrops (TTA)               (ref :5194-5212)
+  19       rot90 of the flipped image
+  20..35   4x4 patch-grid tiles                  (ref :3381-3462)
+  36..51   rot90 duals of the patch tiles
+Total 52 views; one (B*52, S, S, 3) forward.
 """
 
 from __future__ import annotations

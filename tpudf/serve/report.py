@@ -13,8 +13,6 @@ cascade is host-side per-image decision logic.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

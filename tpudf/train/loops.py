@@ -18,7 +18,7 @@ import csv
 import dataclasses
 import os
 import time
-from typing import Any, Callable, Iterable
+from typing import Callable
 
 import jax
 import numpy as np

@@ -11,7 +11,6 @@ instead of boolean indexing.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

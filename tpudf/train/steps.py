@@ -7,7 +7,6 @@ functions; the Python epoch loop lives in train/loops.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
