@@ -76,6 +76,9 @@ def test_host_flow_signals():
     frames = [np.roll(base, i * 2, axis=1) for i in range(4)]
     out = host_flow_signals(frames)
     assert set(out) <= {"flow_fb_inconsistency", "flow_dir_incoherence",
-                        "klt_instability", "affine_inconsistency"}
+                        "klt_instability", "affine_inconsistency",
+                        "flow_reprojection", "parallax_err",
+                        "object_inconsistency"}
     for v in out.values():
         assert 0 <= v <= 1
+    assert "flow_reprojection" in out

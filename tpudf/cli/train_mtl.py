@@ -43,6 +43,44 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _load_local_sid(root, split, image_size):
+    """Local SID-style layout: {root}/{split}/images/*.png,
+    {root}/{split}/masks/<same name>.png (optional),
+    {root}/{split}/labels.csv with `name,label` (0 real / 1 synthetic /
+    2 tampered)."""
+    import csv
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    base = os.path.join(root, split)
+    labels = {}
+    with open(os.path.join(base, "labels.csv")) as f:
+        for row in csv.DictReader(f):
+            labels[row["name"]] = int(row["label"])
+    out = []
+    img_dir = os.path.join(base, "images")
+    mask_dir = os.path.join(base, "masks")
+    for name in sorted(labels):
+        img = Image.open(os.path.join(img_dir, name)).convert("RGB") \
+            .resize((image_size, image_size), Image.BICUBIC)
+        label = labels[name]
+        mpath = os.path.join(mask_dir, name)
+        if os.path.exists(mpath):
+            m = Image.open(mpath).convert("L").resize(
+                (image_size, image_size), Image.NEAREST)
+            mask = (np.asarray(m, np.float32) > 127).astype(np.float32)
+            has_mask = label == 2
+        else:
+            mask = np.zeros((image_size, image_size), np.float32)
+            has_mask = False
+        out.append({"pixels": np.asarray(img, np.uint8), "cls": label,
+                    "binary": float(label > 0), "mask": mask,
+                    "has_mask": has_mask})
+    return out
+
+
 def main(argv=None):
     args = parse_args(argv)
     import jax
@@ -73,22 +111,29 @@ def main(argv=None):
         backbone = from_hf_state_dict(load_file(args.backbone_ckpt), bb_cfg)
     params = init_mtl(key, cfg, backbone)
 
-    # dataset: HF SID_Set (or a preprocessed local npz folder)
-    try:
-        train_raw = load_sid_set("train")
-        val_raw = load_sid_set("validation")
-    except Exception as e:
-        raise SystemExit(f"SID_Set unavailable ({e}); provide --data_dir")
+    # dataset: local folder (images/ masks/ labels.csv) or HF SID_Set
+    if args.data_dir:
+        train_data = _load_local_sid(args.data_dir, "train", args.image_size)
+        val_data = _load_local_sid(args.data_dir, "val", args.image_size)
+        if args.subset_train < 1.0:
+            k = max(int(len(train_data) * args.subset_train),
+                    args.batch_size)
+            train_data = train_data[:k]
+    else:
+        try:
+            train_raw = load_sid_set("train")
+            val_raw = load_sid_set("validation")
+        except Exception as e:
+            raise SystemExit(f"SID_Set unavailable ({e}); provide --data_dir")
 
-    def materialize(raw, frac):
-        n = len(raw)
-        take = max(int(n * frac), args.batch_size)
-        out = [sid_example_to_arrays(raw[i], args.image_size)
-               for i in range(min(take, n))]
-        return out
+        def materialize(raw, frac):
+            n = len(raw)
+            take = max(int(n * frac), args.batch_size)
+            return [sid_example_to_arrays(raw[i], args.image_size)
+                    for i in range(min(take, n))]
 
-    train_data = materialize(train_raw, args.subset_train)
-    val_data = materialize(val_raw, min(args.subset_train * 2, 1.0))
+        train_data = materialize(train_raw, args.subset_train)
+        val_data = materialize(val_raw, min(args.subset_train * 2, 1.0))
 
     optimizer = make_optimizer(args.lr, total_steps=max(
         len(train_data) // args.batch_size, 1) * args.epochs)

@@ -299,4 +299,55 @@ def host_flow_signals(frames_uint8):
     if affine:
         out["affine_inconsistency"] = float(np.clip(np.mean(affine) / 0.6,
                                                     0, 1))
+
+    # flow reprojection error: warp frame t by its flow and compare to t+1
+    # (appv3.py flow_reprojection_error family)
+    reproj = []
+    hgt, wid = grays[0].shape
+    gy, gx = np.mgrid[0:hgt, 0:wid].astype(np.float32)
+    for i in range(t - 1):
+        a, b = grays[i], grays[i + 1]
+        fwd = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 3, 15, 3, 5,
+                                           1.2, 0)
+        warped = cv2.remap(a, gx + fwd[..., 0], gy + fwd[..., 1],
+                           cv2.INTER_LINEAR)
+        reproj.append(float(np.mean(np.abs(
+            warped.astype(np.float32) - b.astype(np.float32)))))
+    if reproj:
+        out["flow_reprojection"] = float(np.clip(np.mean(reproj) / 20.0,
+                                                 0, 1))
+
+    # parallax inconsistency: flow-magnitude variance across depth layers —
+    # pure camera motion gives smooth magnitude fields (appv3.py:2651 family)
+    par = []
+    for i in range(t - 1):
+        fwd = cv2.calcOpticalFlowFarneback(grays[i], grays[i + 1], None,
+                                           0.5, 3, 15, 3, 5, 1.2, 0)
+        mag = np.linalg.norm(fwd, axis=-1)
+        if mag.mean() > 0.2:
+            local_std = cv2.blur((mag - cv2.blur(mag, (15, 15))) ** 2,
+                                 (15, 15)) ** 0.5
+            par.append(float(np.mean(local_std) / (mag.mean() + 1e-6)))
+    if par:
+        out["parallax_err"] = float(np.clip(np.mean(par) / 1.5, 0, 1))
+
+    # ORB object persistence: descriptor match survival across frames
+    # (appv3.py:3758 object_identity_inconsistency)
+    try:
+        orb = cv2.ORB_create(200)
+        bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+        surv = []
+        prev = orb.detectAndCompute(grays[0], None)
+        for i in range(1, t):
+            cur = orb.detectAndCompute(grays[i], None)
+            if prev[1] is not None and cur[1] is not None \
+                    and len(prev[1]) >= 8 and len(cur[1]) >= 8:
+                matches = bf.match(prev[1], cur[1])
+                surv.append(len(matches) / max(len(prev[1]), 1))
+            prev = cur
+        if surv:
+            out["object_inconsistency"] = float(
+                np.clip(1.0 - np.mean(surv), 0, 1))
+    except Exception:
+        pass
     return out
