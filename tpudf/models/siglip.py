@@ -244,12 +244,24 @@ def _mha(x_q, x_kv, heads, in_w, in_b, out_w, out_b, *, policy, interpret=False)
 def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
     from tpudf.ops.quant import int8_matmul, is_quantized
     quant = is_quantized(bp)
-    mm_ = (lambda a, w: int8_matmul(a, w, a.dtype)) if quant \
-        else (lambda a, w: a @ w)
+    if not quant:
+        # fully fused sublayers: LN1+QKV, attention, out-proj+residual,
+        # LN2+MLP+residual — intermediate activations never round-trip HBM
+        # beyond the qkv/attention buffers
+        from tpudf.ops.linear import linear_fused
+        from tpudf.ops.mlp import mlp_block_fused
+        qkv = linear_fused(x, bp["attn"]["qkv_w"], bp["attn"]["qkv_b"],
+                           ln=(bp["ln1"]["scale"], bp["ln1"]["bias"]),
+                           eps=cfg.ln_eps, interpret=interpret)
+        o = attention_qkv(qkv, cfg.heads, cfg.head_dim, interpret=interpret)
+        x = linear_fused(o, bp["attn"]["out_w"], bp["attn"]["out_b"],
+                         residual=x, interpret=interpret)
+        return mlp_block_fused(x, bp["ln2"], bp["mlp"], cfg.ln_eps,
+                               interpret=interpret)
+    mm_ = (lambda a, w: int8_matmul(a, w, a.dtype))
     h = layer_norm(x, bp["ln1"], cfg.ln_eps)
     b, s, w = h.shape
     qkv = mm_(h, bp["attn"]["qkv_w"]) + bp["attn"]["qkv_b"]
-    # transpose-free fused attention straight off the QKV activation
     o = attention_qkv(qkv, cfg.heads, cfg.head_dim, interpret=interpret)
     x = x + (mm_(o, bp["attn"]["out_w"]) + bp["attn"]["out_b"])
     h = layer_norm(x, bp["ln2"], cfg.ln_eps)
