@@ -27,14 +27,30 @@ from tpudf.core.mesh import DATA_AXIS
 
 class DataParallelRunner:
     """Run a jitted per-batch function with the batch axis sharded over the
-    mesh's data axis. Handles remainder padding (TPU static shapes)."""
+    mesh's data axis. Handles remainder padding (TPU static shapes).
+
+    The function body runs under shard_map so Pallas kernels (attention,
+    fused LN/MLP) execute per-shard — the SPMD partitioner cannot split an
+    opaque pallas_call on its own."""
 
     def __init__(self, mesh: Mesh, fn: Callable, batch_multiple: int | None
-                 = None):
+                 = None, use_shard_map: bool = True):
         self.mesh = mesh
-        self.fn = jax.jit(fn)
         self.n_data = mesh.shape[DATA_AXIS]
         self.batch_multiple = batch_multiple or self.n_data
+        if use_shard_map:
+            def wrapped(*args):
+                *params, batch = args
+                smapped = jax.shard_map(
+                    lambda ps, bt: fn(*ps, bt),
+                    mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False)
+                return smapped(tuple(params), batch)
+            self.fn = jax.jit(wrapped)
+        else:
+            self.fn = jax.jit(fn)
 
     def _shard(self, x):
         spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
@@ -70,7 +86,9 @@ def sharded_siglip_features(mesh: Mesh, backbone_params, cfg, policy=None,
     def fn(params, pixels):
         return siglip_forward(params, pixels, cfg, policy)["pooled"]
 
-    runner = DataParallelRunner(mesh, fn)
+    # TP shards the weights themselves — let the SPMD partitioner place the
+    # collectives (plain-XLA path); shard_map only for the dp-pallas path.
+    runner = DataParallelRunner(mesh, fn, use_shard_map=not tensor_parallel)
     return functools.partial(runner, backbone_params)
 
 
