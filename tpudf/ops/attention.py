@@ -245,11 +245,16 @@ def _fused_qkv_with_vjp(heads: int, head_dim: int, scale: float,
 
 def attention_qkv(qkv, heads, head_dim, scale=None, *, use_pallas=None,
                   interpret=False):
-    """Fused-QKV attention: (B, S, 3W) → (B, S, W)."""
+    """Fused-QKV attention: (B, S, 3W) → (B, S, W).
+
+    The kernel slices per-head columns in VMEM, which Mosaic only supports
+    at lane-aligned offsets — head_dim must divide into (or be a multiple
+    of) the 128-lane tile (64 ✓, 128 ✓; so400m's 72 ✗ → XLA fallback)."""
     scale = scale if scale is not None else head_dim ** -0.5
     if use_pallas is None:
         use_pallas = _on_tpu()
-    if use_pallas or interpret:
+    lane_ok = (head_dim % 128 == 0) or (128 % head_dim == 0)
+    if (use_pallas or interpret) and lane_ok:
         return _fused_qkv_with_vjp(int(heads), int(head_dim), float(scale),
                                    bool(interpret))(qkv)
     return _reference_qkv(qkv, heads, head_dim, scale)
