@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _make_kernel(eps, with_ln, with_res):
+def _make_kernel(eps, with_ln, with_res, activation):
     def kernel(*refs):
         i = 0
         x_ref = refs[i]; i += 1
@@ -38,6 +38,8 @@ def _make_kernel(eps, with_ln, with_res):
                  + b_ref[...]).astype(x.dtype)
         y = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32) \
             + bias_ref[...]
+        if activation == "gelu":
+            y = jax.nn.gelu(y, approximate=True)
         if with_res:
             y = y + r_ref[...].astype(jnp.float32)
         o_ref[...] = y.astype(o_ref.dtype)
@@ -45,7 +47,7 @@ def _make_kernel(eps, with_ln, with_res):
 
 
 def _fused_linear_pallas(x2d, w, bias, ln, res, eps, *, block_rows=256,
-                         interpret=False):
+                         activation=None, interpret=False):
     n, din = x2d.shape
     dout = w.shape[1]
     rows = min(block_rows, n)
@@ -67,7 +69,7 @@ def _fused_linear_pallas(x2d, w, bias, ln, res, eps, *, block_rows=256,
         inputs.append(res)
         in_specs.append(pl.BlockSpec((rows, dout), lambda i: (i, 0)))
     out = pl.pallas_call(
-        _make_kernel(eps, ln is not None, res is not None),
+        _make_kernel(eps, ln is not None, res is not None, activation),
         grid=((n + pad) // rows,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, dout), lambda i: (i, 0)),
@@ -77,7 +79,7 @@ def _fused_linear_pallas(x2d, w, bias, ln, res, eps, *, block_rows=256,
     return out[:n] if pad else out
 
 
-def _reference(x2d, w, bias, ln, res, eps):
+def _reference(x2d, w, bias, ln, res, eps, activation=None):
     x = x2d
     if ln is not None:
         x32 = x.astype(jnp.float32)
@@ -87,23 +89,27 @@ def _reference(x2d, w, bias, ln, res, eps):
         x = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln[0] + ln[1]
              ).astype(x2d.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32) + bias
+    if activation == "gelu":
+        y = jax.nn.gelu(y, approximate=True)
     if res is not None:
         y = y + res.astype(jnp.float32)
     return y.astype(x2d.dtype)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused(eps: float, with_ln: bool, with_res: bool, interpret: bool):
+def _fused(eps: float, with_ln: bool, with_res: bool, activation,
+           interpret: bool):
     @jax.custom_vjp
     def f(x2d, w, bias, g, b, res):
         ln = (g, b) if with_ln else None
         return _fused_linear_pallas(x2d, w, bias, ln,
                                     res if with_res else None, eps,
+                                    activation=activation,
                                     interpret=interpret)
 
     def ref(x2d, w, bias, g, b, res):
         return _reference(x2d, w, bias, (g, b) if with_ln else None,
-                          res if with_res else None, eps)
+                          res if with_res else None, eps, activation)
 
     def fwd(*a):
         return f(*a), a
@@ -116,8 +122,8 @@ def _fused(eps: float, with_ln: bool, with_res: bool, interpret: bool):
     return f
 
 
-def linear_fused(x, w, bias, *, ln=None, residual=None, eps=1e-6,
-                 interpret=False, vmem_budget=9 * 1024 * 1024):
+def linear_fused(x, w, bias, *, ln=None, residual=None, activation=None,
+                 eps=1e-6, interpret=False, vmem_budget=9 * 1024 * 1024):
     """(..., din) → (..., dout) fused LN→matmul→+residual.
 
     Falls back to XLA when off-TPU, when the weight doesn't fit VMEM, or for
@@ -137,13 +143,8 @@ def linear_fused(x, w, bias, *, ln=None, residual=None, eps=1e-6,
         g = ln[0] if ln is not None else jnp.ones((din,), jnp.float32)
         b = ln[1] if ln is not None else jnp.zeros((din,), jnp.float32)
         r = r2d if r2d is not None else jnp.zeros((1, dout), x.dtype)
-        if r2d is None:
-            # custom_vjp needs fixed arity; pass a dummy residual but compile
-            # the no-residual variant
-            out = _fused(float(eps), ln is not None, False,
-                         bool(interpret))(x2d, w, bias, g, b, r)
-        else:
-            out = _fused(float(eps), ln is not None, True,
-                         bool(interpret))(x2d, w, bias, g, b, r)
+        out = _fused(float(eps), ln is not None, r2d is not None,
+                     activation, bool(interpret))(x2d, w, bias, g, b, r)
         return out.reshape(*lead, dout)
-    return _reference(x2d, w, bias, ln, r2d, eps).reshape(*lead, dout)
+    return _reference(x2d, w, bias, ln, r2d, eps,
+                      activation).reshape(*lead, dout)

@@ -104,9 +104,20 @@ def mlp_block_fused(x, ln_params, mlp_params, eps=1e-6, *, interpret=False):
     args = (ln_params["scale"], ln_params["bias"],
             mlp_params["fc1_w"], mlp_params["fc1_b"],
             mlp_params["fc2_w"], mlp_params["fc2_b"])
-    if (on_tpu or interpret) and fits and x.dtype == jnp.bfloat16 \
-            and w % 128 == 0 and inter % 128 == 0:
-        out2d = _fused(float(eps), bool(interpret))(
-            x.reshape(-1, w), *args)
-        return out2d.reshape(x.shape)
+    aligned = w % 128 == 0 and inter % 128 == 0
+    if (on_tpu or interpret) and x.dtype == jnp.bfloat16 and aligned:
+        if fits:
+            out2d = _fused(float(eps), bool(interpret))(
+                x.reshape(-1, w), *args)
+            return out2d.reshape(x.shape)
+        if w * inter * 2 <= 9 * 1024 * 1024:
+            # one matrix at a time still fits: two fused halves
+            # (LN+fc1+gelu, then fc2+residual) — large-384 geometry
+            from tpudf.ops.linear import linear_fused
+            h = linear_fused(x, mlp_params["fc1_w"], mlp_params["fc1_b"],
+                             ln=(ln_params["scale"], ln_params["bias"]),
+                             activation="gelu", eps=eps, interpret=interpret)
+            return linear_fused(h, mlp_params["fc2_w"],
+                                mlp_params["fc2_b"], residual=x,
+                                interpret=interpret)
     return _reference(x.reshape(-1, w), *args, eps).reshape(x.shape)
