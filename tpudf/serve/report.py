@@ -92,6 +92,23 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
         "patch": jnp.asarray(patch_mean),
     }))
 
+    # hierarchical bayesian final decision (v2 engine, appv3.py:4956-5103)
+    from tpudf.fuse.hierarchical import final_decision
+    hb_prob, hb_label = final_decision(
+        visual_prob=jnp.asarray(visual), freq_prob=jnp.asarray(freq),
+        fusion_prob=jnp.asarray(p_blend),
+        coral_prob=jnp.asarray(np.asarray(core["p_fake_coral"])),
+        forensic_score=jnp.asarray(forensic_score),
+        diff_score=jnp.asarray(fb["diffusion"]),
+        max_patch=jnp.asarray(max_patch), patch_mean=jnp.asarray(patch_mean),
+        head_delta=jnp.asarray(np.abs(visual - freq)),
+        spectral_score=jnp.asarray(fb["spectral_flatness"]),
+        color_score=jnp.asarray(fb["color_correlation"]),
+        cfa_fake_score=jnp.asarray(fb["cfa_fake"]),
+        real_prior=jnp.asarray(fb["real_prior_v3"]),
+        fake_thresh=decision.final_fake_thresh)
+    hb_prob = np.asarray(hb_prob)
+
     reports = []
     for i in range(b):
         p_final = float(p_blend[i])
@@ -167,6 +184,8 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
             "generator_likelihood": float(gen[i]),
             "three_way": three_way,
             "rbr": rbr_label,
+            "bayes_final_prob": float(hb_prob[i]),
+            "bayes_final_label": str(hb_label[i]),
             "bayesian_fusion_posterior": float(bayes["posterior_fake"][i]),
             "bayesian_fusion_certainty": float(bayes["certainty"][i]),
             "dirichlet_uncertainty": float(diri["uncertainty"][i]),
