@@ -176,10 +176,12 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
     """
     b, s, w3 = qkv.shape
     w = w3 // 3
-    # q_block must divide S (S is a multiple of 8 for all SigLIP geometries)
     qb = min(q_block, s)
-    while s % qb:
-        qb //= 2
+    # pad the q axis up to a q_block multiple (padded rows attend over the
+    # real KV and are sliced off afterwards) — keeps MXU tiles large at
+    # non-dividing sequence lengths (e.g. S=576)
+    sp = _round_up(s, qb)
+    qkv_q = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0))) if sp != s else qkv
 
     def kernel(q_ref, kv_ref, o_ref):
         qt = q_ref[0]                        # (qb, 3W) — only q cols used
@@ -199,17 +201,18 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
                         preferred_element_type=jnp.float32)
             o_ref[0, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b, s // qb),
+        grid=(b, sp // qb),
         in_specs=[
             pl.BlockSpec((1, qb, w3), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s, w3), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sp, w), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv)
+    )(qkv_q, qkv)
+    return out[:, :s] if sp != s else out
 
 
 def _reference_qkv(qkv, heads, head_dim, scale):
