@@ -115,6 +115,58 @@ def from_hf_state_dict(sd: Mapping, cfg: SigLIPConfig) -> dict:
     return params
 
 
+def from_reference_mtl_state_dict(sd: Mapping, mtl_cfg) -> dict:
+    """Convert a reference SigLIP2_MTL torch checkpoint
+    (siglip2siddataset.py:750-786: encoder.* HF vision tower + cls_head.* +
+    decoder.* SegFormerStrongDecoder) into a tpudf MTL param bundle
+    (models/segformer.init_mtl layout). Handles the compiled-model
+    `_orig_mod.` prefix (siglip2siddataset.py:1147-1156)."""
+    sd = {k[len("_orig_mod."):] if k.startswith("_orig_mod.") else k: v
+          for k, v in sd.items()}
+    enc = {k[len("encoder."):]: v for k, v in sd.items()
+           if k.startswith("encoder.")}
+    backbone = from_hf_state_dict(enc, mtl_cfg.backbone)
+
+    def np_(k):
+        return _np(sd[k])
+
+    # cls head: plain Linear or Dropout+Linear sequential
+    if "cls_head.weight" in sd:
+        cw, cb = np_("cls_head.weight"), np_("cls_head.bias")
+    else:
+        cw, cb = np_("cls_head.1.weight"), np_("cls_head.1.bias")
+
+    k = len(mtl_cfg.seg_layers)
+    dec = {
+        "projs": [{"w": jnp.asarray(np_(f"decoder.projs.{i}.proj.weight").T),
+                   "b": jnp.asarray(np_(f"decoder.projs.{i}.proj.bias"))}
+                  for i in range(k)],
+        "smooth": [{
+            "dw": {"w": jnp.asarray(np_(f"decoder.smooth.{i}.0.weight")
+                                    .transpose(2, 3, 1, 0)),
+                   "b": jnp.asarray(np_(f"decoder.smooth.{i}.0.bias"))},
+            "pw": {"w": jnp.asarray(np_(f"decoder.smooth.{i}.1.weight")
+                                    .transpose(2, 3, 1, 0)),
+                   "b": jnp.asarray(np_(f"decoder.smooth.{i}.1.bias"))},
+        } for i in range(k)],
+        "attn1": {"w": jnp.asarray(np_("decoder.fuse_attn.0.weight")
+                                   .transpose(2, 3, 1, 0)),
+                  "b": jnp.asarray(np_("decoder.fuse_attn.0.bias"))},
+        "attn2": {"w": jnp.asarray(np_("decoder.fuse_attn.2.weight")
+                                   .transpose(2, 3, 1, 0)),
+                  "b": jnp.asarray(np_("decoder.fuse_attn.2.bias"))},
+        "fuse": {"w": jnp.asarray(np_("decoder.fuse.0.weight")
+                                  .transpose(2, 3, 1, 0)),
+                 "b": jnp.asarray(np_("decoder.fuse.0.bias"))},
+        "head": {"w": jnp.asarray(np_("decoder.head.weight")
+                                  .transpose(2, 3, 1, 0)),
+                 "b": jnp.asarray(np_("decoder.head.bias"))},
+    }
+    return {"backbone": backbone,
+            "cls_head": {"w": jnp.asarray(cw.T), "b": jnp.asarray(cb)},
+            "decoder": dec}
+
+
 def from_open_clip_state_dict(sd: Mapping, cfg: SigLIPConfig) -> dict:
     """Convert an open_clip SigLIP vision tower (timm ViT naming:
     `trunk.patch_embed.proj.*`, `trunk.blocks.N.attn.qkv.*`,
