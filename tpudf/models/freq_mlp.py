@@ -62,6 +62,37 @@ def freq_mlp_from_safetensors(path):
     }
 
 
+def freq_mlp_v5_from_safetensors(path):
+    """Load a v5-trainer artifact ("FreqMLP trainer.py":274-309 layout:
+    normer.mean/std buffers, contrast.alpha/beta, band.gates,
+    blocks.N.{norm,fc1,fc2}, head, temp.T)."""
+    from safetensors.numpy import load_file
+    sd = load_file(path)
+    blocks = []
+    i = 0
+    while f"blocks.{i}.fc1.weight" in sd:
+        blocks.append({
+            "ln": {"scale": jnp.asarray(sd[f"blocks.{i}.norm.weight"]),
+                   "bias": jnp.asarray(sd[f"blocks.{i}.norm.bias"])},
+            "fc1": {"w": jnp.asarray(sd[f"blocks.{i}.fc1.weight"].T),
+                    "b": jnp.asarray(sd[f"blocks.{i}.fc1.bias"])},
+            "fc2": {"w": jnp.asarray(sd[f"blocks.{i}.fc2.weight"].T),
+                    "b": jnp.asarray(sd[f"blocks.{i}.fc2.bias"])},
+        })
+        i += 1
+    return {
+        "norm_mean": jnp.asarray(sd["normer.mean"]),
+        "norm_std": jnp.asarray(sd["normer.std"]),
+        "contrast": {"alpha": jnp.asarray(sd["contrast.alpha"]),
+                     "beta": jnp.asarray(sd["contrast.beta"])},
+        "gates": jnp.asarray(sd["band.gates"]),
+        "blocks": blocks,
+        "head": {"w": jnp.asarray(sd["head.weight"].T),
+                 "b": jnp.asarray(sd["head.bias"])},
+        "temp": jnp.asarray(sd["temp.T"]).reshape(()),
+    }
+
+
 # ----------------------------------------------------------------- v5
 
 def init_freq_mlp_v5(key, dim=24, hidden=64, num_bands=4):

@@ -60,7 +60,9 @@ def save_head_safetensors(path: str, params: dict):
             for i, v in enumerate(tree):
                 walk(f"{prefix}.{i}", v)
         else:
-            flat[prefix] = np.asarray(tree)
+            # safetensors serializes the raw buffer: non-contiguous views
+            # (e.g. transposes) would be silently scrambled
+            flat[prefix] = np.ascontiguousarray(np.asarray(tree))
 
     walk("", params)
     save_file(flat, path)
