@@ -250,11 +250,37 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
         # beyond the qkv/attention buffers
         from tpudf.ops.linear import linear_fused
         from tpudf.ops.mlp import mlp_block_fused
-        qkv = linear_fused(x, bp["attn"]["qkv_w"], bp["attn"]["qkv_b"],
+        d = cfg.head_dim
+        qkv_w, qkv_b = bp["attn"]["qkv_w"], bp["attn"]["qkv_b"]
+        out_w = bp["attn"]["out_w"]
+        lane_ok = (d % 128 == 0) or (128 % d == 0)
+        if not lane_ok:
+            # lane-align heads by zero-padding each head's slot in the
+            # projection WEIGHTS (so400m d=72 → 128): scores/outputs are
+            # unchanged (padded dims contribute zeros) but the fused
+            # attention kernel applies. Weight pads are tiny vs activations.
+            dp = ((d + 127) // 128) * 128
+            scale = d ** -0.5          # keep the original softmax scale
+            w_ = qkv_w.shape[0]
+            qkv_w = jnp.pad(
+                qkv_w.reshape(w_, 3, cfg.heads, d),
+                ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
+                    w_, 3 * cfg.heads * dp)
+            qkv_b = jnp.pad(
+                qkv_b.reshape(3, cfg.heads, d),
+                ((0, 0), (0, 0), (0, dp - d))).reshape(-1)
+            out_w = jnp.pad(
+                out_w.reshape(cfg.heads, d, w_),
+                ((0, 0), (0, dp - d), (0, 0))).reshape(cfg.heads * dp, w_)
+            d_run = dp
+        else:
+            scale = None
+            d_run = d
+        qkv = linear_fused(x, qkv_w, qkv_b,
                            ln=(bp["ln1"]["scale"], bp["ln1"]["bias"]),
                            eps=cfg.ln_eps, interpret=interpret)
-        o = attention_qkv(qkv, cfg.heads, cfg.head_dim, interpret=interpret)
-        x = linear_fused(o, bp["attn"]["out_w"], bp["attn"]["out_b"],
+        o = attention_qkv(qkv, cfg.heads, d_run, scale, interpret=interpret)
+        x = linear_fused(o, out_w, bp["attn"]["out_b"],
                          residual=x, interpret=interpret)
         return mlp_block_fused(x, bp["ln2"], bp["mlp"], cfg.ln_eps,
                                interpret=interpret)

@@ -183,14 +183,15 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
     sp = _round_up(s, qb)
     qkv_q = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0))) if sp != s else qkv
 
-    def kernel(q_ref, kv_ref, o_ref):
-        qt = q_ref[0]                        # (qb, 3W) — only q cols used
-        kv = kv_ref[0]                       # (S, 3W)
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qt = q_ref[0]                        # (qb, W)
+        kt = k_ref[0]                        # (S, W)
+        vt = v_ref[0]
         for h in range(heads):
             lo = h * head_dim
             qh = qt[:, lo:lo + head_dim]
-            kh = kv[:, w + lo:w + lo + head_dim]
-            vh = kv[:, 2 * w + lo:2 * w + lo + head_dim]
+            kh = kt[:, lo:lo + head_dim]
+            vh = vt[:, lo:lo + head_dim]
             sc = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
@@ -201,17 +202,20 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
                         preferred_element_type=jnp.float32)
             o_ref[0, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
 
+    # q/k/v as separate column-block views of the same array (3x less VMEM
+    # than holding the fused 3W row): block col 0 = q, 1 = k, 2 = v
     out = pl.pallas_call(
         kernel,
         grid=(b, sp // qb),
         in_specs=[
-            pl.BlockSpec((1, qb, w3), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, s, w3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 1)),
+            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 2)),
         ],
         out_specs=pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, sp, w), qkv.dtype),
         interpret=interpret,
-    )(qkv_q, qkv)
+    )(qkv_q, qkv, qkv)
     return out[:, :s] if sp != s else out
 
 
