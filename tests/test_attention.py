@@ -27,8 +27,9 @@ def test_pallas_matches_reference(b, h, s, d):
 
 @pytest.mark.parametrize("s,h,d", [
     (256, 12, 64),     # base-256
-    (576, 16, 64),     # large-384 (qb falls back to 64: 576 % 256 != 0)
-    (1024, 16, 72),    # so400m-512
+    (576, 16, 64),     # large-384 (q axis padded to the q-block multiple)
+    (1024, 16, 72),    # so400m-512 raw head dim
+    (256, 4, 128),     # lane-aligned fori-loop head path (padded so400m)
 ])
 def test_qkv_fused_matches_reference(s, h, d):
     from tpudf.ops.attention import _attention_qkv_pallas, _reference_qkv

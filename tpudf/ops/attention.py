@@ -183,24 +183,38 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
     sp = _round_up(s, qb)
     qkv_q = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0))) if sp != s else qkv
 
+    def _one_head(qh, kh, vh):
+        sc = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        return jnp.dot(p.astype(vh.dtype), vh,
+                       preferred_element_type=jnp.float32)
+
     def kernel(q_ref, k_ref, v_ref, o_ref):
         qt = q_ref[0]                        # (qb, W)
         kt = k_ref[0]                        # (S, W)
         vt = v_ref[0]
-        for h in range(heads):
-            lo = h * head_dim
-            qh = qt[:, lo:lo + head_dim]
-            kh = kt[:, lo:lo + head_dim]
-            vh = vt[:, lo:lo + head_dim]
-            sc = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp(sc - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            o = jnp.dot(p.astype(vh.dtype), vh,
-                        preferred_element_type=jnp.float32)
-            o_ref[0, :, lo:lo + head_dim] = o.astype(o_ref.dtype)
+        if head_dim % 128 == 0:
+            # lane-aligned dynamic slicing + fori_loop: one live score
+            # buffer instead of `heads` unrolled ones (VMEM stack)
+            def body(h, _):
+                lo = pl.multiple_of(h * head_dim, 128)
+                qh = qt[:, pl.ds(lo, head_dim)]
+                kh = kt[:, pl.ds(lo, head_dim)]
+                vh = vt[:, pl.ds(lo, head_dim)]
+                o_ref[0, :, pl.ds(lo, head_dim)] = \
+                    _one_head(qh, kh, vh).astype(o_ref.dtype)
+                return 0
+            jax.lax.fori_loop(0, heads, body, 0)
+        else:
+            for h in range(heads):
+                lo = h * head_dim
+                o_ref[0, :, lo:lo + head_dim] = _one_head(
+                    qt[:, lo:lo + head_dim], kt[:, lo:lo + head_dim],
+                    vt[:, lo:lo + head_dim]).astype(o_ref.dtype)
 
     # q/k/v as separate column-block views of the same array (3x less VMEM
     # than holding the fused 3W row): block col 0 = q, 1 = k, 2 = v
