@@ -194,22 +194,22 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
                        preferred_element_type=jnp.float32)
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
-        qt = q_ref[0]                        # (qb, W)
-        kt = k_ref[0]                        # (S, W)
-        vt = v_ref[0]
         if head_dim % 128 == 0:
-            # lane-aligned dynamic slicing + fori_loop: one live score
+            # lane-aligned dynamic ref slicing + fori_loop: one live score
             # buffer instead of `heads` unrolled ones (VMEM stack)
             def body(h, _):
                 lo = pl.multiple_of(h * head_dim, 128)
-                qh = qt[:, pl.ds(lo, head_dim)]
-                kh = kt[:, pl.ds(lo, head_dim)]
-                vh = vt[:, pl.ds(lo, head_dim)]
+                qh = q_ref[0, :, pl.ds(lo, head_dim)]
+                kh = k_ref[0, :, pl.ds(lo, head_dim)]
+                vh = v_ref[0, :, pl.ds(lo, head_dim)]
                 o_ref[0, :, pl.ds(lo, head_dim)] = \
                     _one_head(qh, kh, vh).astype(o_ref.dtype)
                 return 0
             jax.lax.fori_loop(0, heads, body, 0)
         else:
+            qt = q_ref[0]                    # (qb, W)
+            kt = k_ref[0]                    # (S, W)
+            vt = v_ref[0]
             for h in range(heads):
                 lo = h * head_dim
                 o_ref[0, :, lo:lo + head_dim] = _one_head(
