@@ -183,6 +183,22 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
     sp = _round_up(s, qb)
     qkv_q = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0))) if sp != s else qkv
 
+    # head-group tiling: shrink the K/V blocks (which the pipeline double-
+    # buffers) until they fit VMEM alongside q/out/score buffers. Each grid
+    # step handles `heads // ngroups` heads over a (S, W/ngroups) column span.
+    ngroups = 1
+    cand = 1
+    while cand <= heads:
+        valid = heads % cand == 0 and w % cand == 0 \
+            and (w // cand) % 128 == 0
+        if valid:
+            ngroups = cand
+            if s * (w // cand) * 2 * 4 <= 8 * 1024 * 1024:
+                break
+        cand *= 2
+    gw = w // ngroups
+    gheads = heads // ngroups
+
     def _one_head(qh, kh, vh):
         sc = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
@@ -205,28 +221,29 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
                 o_ref[0, :, pl.ds(lo, head_dim)] = \
                     _one_head(qh, kh, vh).astype(o_ref.dtype)
                 return 0
-            jax.lax.fori_loop(0, heads, body, 0)
+            jax.lax.fori_loop(0, gheads, body, 0)
         else:
-            qt = q_ref[0]                    # (qb, W)
-            kt = k_ref[0]                    # (S, W)
+            qt = q_ref[0]                    # (qb, GW)
+            kt = k_ref[0]                    # (S, GW)
             vt = v_ref[0]
-            for h in range(heads):
+            for h in range(gheads):
                 lo = h * head_dim
                 o_ref[0, :, lo:lo + head_dim] = _one_head(
                     qt[:, lo:lo + head_dim], kt[:, lo:lo + head_dim],
                     vt[:, lo:lo + head_dim]).astype(o_ref.dtype)
 
     # q/k/v as separate column-block views of the same array (3x less VMEM
-    # than holding the fused 3W row): block col 0 = q, 1 = k, 2 = v
+    # than holding the fused 3W row); with head-group tiling each block is
+    # (S, W/ngroups) at block columns [g], [ngroups + g], [2*ngroups + g]
     out = pl.pallas_call(
         kernel,
-        grid=(b, sp // qb),
+        grid=(b, sp // qb, ngroups),
         in_specs=[
-            pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 1)),
-            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 2)),
+            pl.BlockSpec((1, qb, gw), lambda i, j, g: (i, j, g)),
+            pl.BlockSpec((1, s, gw), lambda i, j, g: (i, 0, ngroups + g)),
+            pl.BlockSpec((1, s, gw), lambda i, j, g: (i, 0, 2 * ngroups + g)),
         ],
-        out_specs=pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, qb, gw), lambda i, j, g: (i, j, g)),
         out_shape=jax.ShapeDtypeStruct((b, sp, w), qkv.dtype),
         interpret=interpret,
     )(qkv_q, qkv, qkv)
