@@ -127,14 +127,25 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
         jnp.rot90(patches, k=1, axes=(2, 3)),   # 36..51 patch rot dual views
     ], axis=1)
     nv = views.shape[1]
-    z_sig, z_freq = _experts(backbone, head, freq,
-                             views.reshape(b * nv, s, s, 3), cfg, policy)
-    z_sig = z_sig.reshape(b, nv)
-    z_freq = z_freq.reshape(b, nv)
+    views_flat = views.reshape(b * nv, s, s, 3)
+    feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
+                           policy)["pooled"]
+    z_sig = apply_binary_head(head, feats).reshape(b, nv)
 
-    main = _core_from_views(z_sig[:, 0:9], z_freq[:, 0:9], z_sig[:, 9],
+    # frequency expert only on views whose freq logits are consumed —
+    # rot-dual views (9, 19, 36..51) feed the visual blend only
+    freq_idx = list(range(0, 9)) + list(range(10, 19)) + list(range(20, 36))
+    fviews = views[:, jnp.asarray(freq_idx)].reshape(
+        b * len(freq_idx), s, s, 3)
+    fv = extract_freq_vector(rgb_to_gray(fviews))
+    z_freq_used = apply_freq_mlp(freq, fv).reshape(b, len(freq_idx))
+    zf_main = z_freq_used[:, 0:9]
+    zf_tta = z_freq_used[:, 9:18]
+    zf_patch = z_freq_used[:, 18:34]
+
+    main = _core_from_views(z_sig[:, 0:9], zf_main, z_sig[:, 9],
                             weights, fusion, cuts)
-    tta = _core_from_views(z_sig[:, 10:19], z_freq[:, 10:19], z_sig[:, 19],
+    tta = _core_from_views(z_sig[:, 10:19], zf_tta, z_sig[:, 19],
                            weights, fusion, cuts)
 
     # TTA mean fusion (appv3.py:5204-5212)
@@ -147,7 +158,7 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
     zp = z_sig[:, 20:36]
     zp_rot = z_sig[:, 36:52]
     vp = 0.6 * jax.nn.sigmoid(zp) + 0.4 * jax.nn.sigmoid(zp_rot)
-    fp = jax.nn.sigmoid(z_freq[:, 20:36] / FREQ_TEMP)
+    fp = jax.nn.sigmoid(zf_patch / FREQ_TEMP)
     z_patch = apply_fusion_linear(fusion, vp, fp)
     patch_probs = coral_blend(z_patch, cuts)["p_blend"]  # (B, 16)
 
