@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--artifacts", default=None,
                    help="dir with freq_mlp/fusion_head safetensors + coral "
                         "jsons (reference artifact layout)")
+    p.add_argument("--head_ckpt", default=None,
+                   help="orbax checkpoint from tpudf.cli.train_binary "
+                        "(loads the trained v5 head; EMA params if present)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--fast", action="store_true")
     p.add_argument("--video", action="store_true")
@@ -60,8 +63,28 @@ def build_engine(args):
         backbone = from_hf_state_dict(load_file(args.backbone_ckpt), cfg)
     else:
         print("[warn] random backbone (smoke mode)")
-        backbone = init_siglip(keys[0], cfg)
-    head = init_binary_head(keys[1], cfg.width)
+        # same key derivation as cli/train_binary so a head trained in smoke
+        # mode pairs with the identical random backbone
+        backbone = init_siglip(jax.random.key(args.seed), cfg)
+    head = init_binary_head(jax.random.key(args.seed + 1), cfg.width)
+    if getattr(args, "head_ckpt", None):
+        from tpudf.train.checkpoint import restore_checkpoint
+        from tpudf.train.steps import init_train_state, make_optimizer
+        opt = make_optimizer(total_steps=1)
+        restored = None
+        for ema_decay in (None, 0.999):   # try both saved-state shapes
+            template = init_train_state(head, opt, ema_decay)._asdict() \
+                | {"epoch": 0}
+            try:
+                restored = restore_checkpoint(args.head_ckpt, template)
+                break
+            except Exception:
+                continue
+        if restored is None:
+            raise SystemExit(f"cannot restore head from {args.head_ckpt}")
+        head = restored["ema"] if restored.get("ema") is not None \
+            else restored["params"]
+        print(f"[head] restored {args.head_ckpt}")
 
     art = args.artifacts
     if art and os.path.exists(os.path.join(art, "freq_mlp.safetensors")):
