@@ -18,6 +18,13 @@ import json
 import time
 
 import jax
+
+try:  # persistent compile cache: repeat driver runs skip the ~minutes AOT
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
