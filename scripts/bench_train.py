@@ -1,0 +1,71 @@
+"""Training-step throughput on the real TPU chip (VERDICT r1 item 7).
+
+Measures the MTL train step (3-class cls + seg decoder, base-256 backbone,
+top blocks unfrozen per Siglip2sidafrozen.py:754-770) and the binary
+head train step, in bf16 compute. Prints one JSON line per config.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_train.py
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def timeit(fn, *args, iters=10, warmup=2):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    from tpudf.core.precision import DEFAULT_POLICY
+    from tpudf.models.siglip import CONFIGS, init_siglip
+    from tpudf.models.segformer import MTLConfig, init_mtl
+    from tpudf.train.mtl import make_mtl_train_step
+
+    cfg = CONFIGS["base-256"]
+    b = 64
+    rng = np.random.default_rng(0)
+
+    # ---- MTL step, layers >= 9 trainable (ref freezes < 21 of 27; the
+    # base tower has 12 layers so the equivalent top-3 stay unfrozen)
+    mtl_cfg = MTLConfig(backbone=cfg, seg_layers=(0, 5, 11), embed_dim=256)
+    params = init_mtl(jax.random.key(0), mtl_cfg)
+    opt = optax.adamw(1e-4)
+    init_fn, step = make_mtl_train_step(mtl_cfg, opt, DEFAULT_POLICY,
+                                        freeze_below=9, seg_loss="bce_dice")
+    state = init_fn(params)
+    batch = {
+        "pixels": jnp.asarray(rng.random((b, 256, 256, 3), np.float32)),
+        "cls": jnp.asarray(rng.integers(0, 3, b), jnp.int32),
+        "mask": jnp.asarray((rng.random((b, 256, 256)) > 0.5)
+                            .astype(np.float32)),
+        "has_mask": jnp.asarray((np.arange(b) % 3 == 2)
+                                .astype(np.float32)),
+    }
+    jit_step = jax.jit(step)
+    dt, _ = timeit(lambda s: jit_step(s, batch, jax.random.key(1), 1.0, 0.5),
+                   state)
+    print(json.dumps({"metric": "mtl_train_step_base256_top3_unfrozen",
+                      "batch": b, "ms": round(dt * 1e3, 1),
+                      "img_per_s": round(b / dt, 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,79 @@ def test_graft_dryrun():
         pytest.skip("needs 8 virtual devices")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_detect_core_matches_single(mesh8):
+    """VERDICT r1 item 8: the full 52-view engine through the 8-device mesh
+    must reproduce the single-device report signals."""
+    from tpudf.calib.coral import CoralCutpoints
+    from tpudf.models.freq_mlp import init_freq_mlp
+    from tpudf.models.fusion import init_fusion_linear
+    from tpudf.models.heads import init_binary_head
+    from tpudf.parallel.inference import sharded_detect_core
+    from tpudf.serve.engine import DetectEngine
+
+    k = jax.random.split(jax.random.key(3), 4)
+    engine = DetectEngine(cfg=CFG, backbone=init_siglip(k[0], CFG),
+                          head=init_binary_head(k[1], CFG.width),
+                          freq=init_freq_mlp(k[2]),
+                          fusion=init_fusion_linear(k[3]),
+                          policy=F32_POLICY,
+                          cuts=__import__("tpudf.calib.coral",
+                                          fromlist=["CoralCutpoints"]
+                                          ).CoralCutpoints.default())
+    px = np.random.default_rng(3).integers(0, 256, (6, 32, 32, 3), np.uint8)
+    run = sharded_detect_core(mesh8, engine)
+    out = run(px.astype(np.float32) / 1.0)          # runner casts/shards
+    ref = engine.predict_batch(px)
+    for key in ("p_blend", "visual_prob", "patch_mean", "max_patch",
+                "embed_l2"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_sharded_mtl_train_step(mesh8):
+    """One MTL train step (cls + seg) with the batch sharded over the data
+    axis: loss finite and parity with the unsharded step."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpudf.core.mesh import DATA_AXIS
+    from tpudf.models.segformer import MTLConfig, init_mtl
+    from tpudf.train.mtl import make_mtl_train_step
+
+    cfg = MTLConfig(backbone=CFG, seg_layers=(-1,), embed_dim=16)
+    params = init_mtl(jax.random.key(4), cfg)
+    opt = optax.sgd(1e-2)
+    init_fn, step = make_mtl_train_step(cfg, opt, F32_POLICY, freeze_below=1,
+                                        seg_loss="bce_dice")
+    state = init_fn(params)
+
+    rng = np.random.default_rng(4)
+    b = 8
+    batch_np = {
+        "pixels": rng.random((b, 32, 32, 3)).astype(np.float32),
+        "cls": (np.arange(b) % 3).astype(np.int32),
+        "mask": (rng.random((b, 32, 32)) > 0.5).astype(np.float32),
+        "has_mask": (np.arange(b) % 3 == 2).astype(np.float32),
+    }
+
+    # unsharded reference
+    _, m_ref = jax.jit(step)(state, jax.tree.map(jnp.asarray, batch_np),
+                             jax.random.key(5), 1.0, 0.5)
+
+    # sharded: batch over data axis, params/state replicated
+    def shard_batch(x):
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh8, spec))
+    rep = NamedSharding(mesh8, P())
+    state_sh = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), rep),
+                            state)
+    batch_sh = jax.tree.map(shard_batch, batch_np)
+    new_state, m = jax.jit(step)(state_sh, batch_sh, jax.random.key(5),
+                                 1.0, 0.5)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(float(m["cls_acc"]), float(m_ref["cls_acc"]),
+                               atol=1e-6)

@@ -183,27 +183,38 @@ def load_sid_set(split="train", subset: str | None = None, streaming=False):
     return hfd.load_dataset(name, split=spec, streaming=streaming)
 
 
+SID_LABELS = ("real", "fully_synthetic", "tampered")
+
+
 def sid_example_to_arrays(ex, image_size: int) -> dict:
     """One SID_Set example → {pixels uint8 (S,S,3), cls int, binary float,
-    mask float32 (S,S)} with mask binarize/resize
-    (siglip2siddataset.py:885-897)."""
+    mask float32 (S,S), has_mask bool} with the reference's label mapping
+    and mask binarize/resize semantics (siglip2siddataset.py:867-911):
+      * labels arrive as int indices or strings; 0=real → binary 0,
+        1=fully_synthetic / 2=tampered → binary 1 (:871-882)
+      * 3-channel masks take channel 0, binarize at >127, NEAREST-resize to
+        the image size (:889-897)
+      * has_mask is true whenever a mask is present (:902)."""
     from PIL import Image
     img = ex["image"]
     if not isinstance(img, Image.Image):
         img = Image.fromarray(np.asarray(img))
     img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
-    label = int(ex["label"])
+    lab = ex["label"]
+    label = SID_LABELS.index(lab) if isinstance(lab, str) else int(lab)
     mask = ex.get("mask")
     if mask is not None:
-        if not isinstance(mask, Image.Image):
-            mask = Image.fromarray(np.asarray(mask))
-        mask = mask.convert("L").resize((image_size, image_size),
-                                        Image.NEAREST)
-        mask = (np.asarray(mask, np.float32) > 127).astype(np.float32)
+        m = np.asarray(mask)
+        if m.ndim == 3:
+            m = m[..., 0]
+        m = (m > 127).astype(np.uint8)
+        m = Image.fromarray(m).resize((image_size, image_size),
+                                      Image.NEAREST)
+        mask = np.asarray(m, np.float32)
         has_mask = True
     else:
         mask = np.zeros((image_size, image_size), np.float32)
         has_mask = False
     return {"pixels": np.asarray(img, np.uint8), "cls": label,
             "binary": float(label > 0), "mask": mask,
-            "has_mask": has_mask and label == 2}
+            "has_mask": has_mask}

@@ -28,6 +28,10 @@ class DecisionConfig:
     final_real_thresh: float = 0.45
     disable_tampered: bool = False
     disable_inconclusive: bool = False
+    # false-positive shield (stabilized_fusion, appv3.py:3191-3208): the
+    # reference defines it in every app revision but never invokes it; we
+    # expose it as an opt-in safer blend on the REAL-looking path.
+    use_stabilized_fusion: bool = False
 
 
 DEFAULT_DECISION = DecisionConfig()

@@ -250,6 +250,46 @@ def aggregate_sora(signals: dict):
             "core_hits": core_hits, "motion_hits": motion_hits}
 
 
+def rendering_pipeline_score(frames_uint8):
+    """Over-regular camera-simulation score (appv3.py:2525-2566), exact
+    host-cv2 reimplementation: exposure continuity (64-bin grayscale
+    histogram Bhattacharyya between consecutive frames) blended 55/45 with
+    motion-blur regularity (exp(-var) of Farneback flow magnitude sampled at
+    Canny edges). Higher = suspiciously 'too perfect'. In the image path the
+    reference feeds [image, h-flip] as the frame pair (appv3.py:5128-5195).
+    Returns 0.0 when cv2 is unavailable or fewer than 2 frames are given."""
+    if frames_uint8 is None or len(frames_uint8) < 2:
+        return 0.0
+    try:
+        import cv2
+    except Exception:
+        return 0.0
+    grays = [cv2.cvtColor(np.asarray(f), cv2.COLOR_RGB2GRAY)
+             for f in frames_uint8]
+    hists = []
+    for g in grays:
+        hist = cv2.calcHist([g], [0], None, [64], [0, 256])
+        hists.append(cv2.normalize(hist, hist).flatten())
+    diffs = [cv2.compareHist(hists[i], hists[i + 1],
+                             cv2.HISTCMP_BHATTACHARYYA)
+             for i in range(len(hists) - 1)]
+    exposure_perfection = 1.0 - float(np.mean(diffs))
+
+    blur_vals = []
+    for i in range(1, len(grays)):
+        flow = cv2.calcOpticalFlowFarneback(
+            grays[i - 1], grays[i], None, 0.5, 3, 15, 3, 5, 1.2, 0)
+        mag, _ = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+        edges = cv2.Canny(grays[i], 100, 200)
+        blur_vals.extend(mag[edges > 0])
+    if len(blur_vals) > 50:
+        blur_regularity = float(np.exp(-np.var(np.asarray(blur_vals))))
+    else:
+        blur_regularity = 0.0
+    score = 0.55 * exposure_perfection + 0.45 * blur_regularity
+    return float(np.clip(score, 0.0, 1.0))
+
+
 def host_flow_signals(frames_uint8):
     """Optical-flow-family signals via host cv2 (Farneback forward/backward,
     flow direction coherence, KLT track instability, RANSAC affine

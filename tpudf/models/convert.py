@@ -7,6 +7,13 @@ maps either state dict onto the tpudf layout (models/siglip.py docstring).
 
 Works from a plain `{name: np.ndarray}` dict so torch is only needed by the
 caller that produced the state dict.
+
+CLI (`python -m tpudf.models.convert`): convert an HF model directory /
+safetensors file / torch .pt|.bin / open_clip checkpoint into an orbax
+checkpoint + config sidecar consumable by the CLIs and serving engine:
+
+    python -m tpudf.models.convert --src google/siglip-base-patch16-256 \
+        --out /ckpts/siglip_base_256 [--kind auto|hf|open_clip|mtl]
 """
 
 from __future__ import annotations
@@ -231,3 +238,128 @@ def from_open_clip_state_dict(sd: Mapping, cfg: SigLIPConfig) -> dict:
             "fc2_b": jnp.asarray(sd["attn_pool.mlp.fc2.bias"]),
         }
     return params
+
+
+# ----------------------------------------------------------------- CLI
+
+def _load_state_dict(src: str) -> dict:
+    """Load {name: array} from a safetensors file, a torch .pt/.bin, an HF
+    model directory, or an HF hub id (network-gated)."""
+    import os
+    if os.path.isfile(src) and src.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(src))
+    if os.path.isfile(src):                 # torch checkpoint
+        import torch
+        obj = torch.load(src, map_location="cpu", weights_only=True)
+        sd = obj.get("state_dict", obj.get("model", obj)) \
+            if isinstance(obj, dict) else obj
+        return {k: _np(v) for k, v in sd.items()}
+    if os.path.isdir(src):
+        st = [f for f in os.listdir(src) if f.endswith(".safetensors")]
+        if st:
+            from safetensors.numpy import load_file
+            sd = {}
+            for f in sorted(st):
+                sd.update(load_file(os.path.join(src, f)))
+            return sd
+        raise FileNotFoundError(f"no safetensors under {src}")
+    # HF hub id — requires network; the caller's environment gates this
+    from transformers import SiglipVisionModel
+    model = SiglipVisionModel.from_pretrained(src)
+    return {k: _np(v) for k, v in model.state_dict().items()}
+
+
+def _detect_kind(sd: Mapping) -> str:
+    keys = set(sd)
+    stripped = set(_strip_prefix(sd))
+    if any(k.startswith(("encoder.layers.", "_orig_mod.encoder."))
+           or k.startswith("cls_head.") for k in keys):
+        if any(k.startswith(("decoder.", "_orig_mod.decoder.")) for k in keys):
+            return "mtl"
+    if any(k.startswith(("trunk.", "patch_embed.")) for k in stripped):
+        return "open_clip"
+    return "hf"
+
+
+def _infer_config(sd: Mapping) -> SigLIPConfig:
+    """Geometry from the converted-source dict (checkpoint shape
+    auto-detection, inference_ai_human_images.py:804-827 family)."""
+    sd = {re.sub(r"^trunk\.", "", k): v for k, v in _strip_prefix(sd).items()}
+    if "embeddings.patch_embedding.weight" in sd:
+        conv = np.asarray(sd["embeddings.patch_embedding.weight"])
+        pos = np.asarray(sd["embeddings.position_embedding.weight"])
+        layers = 1 + max(int(m.group(1)) for k in sd
+                         if (m := re.match(r"encoder\.layers\.(\d+)\.", k)))
+        mlp = np.asarray(sd["encoder.layers.0.mlp.fc1.weight"]).shape[0]
+    else:
+        conv = np.asarray(sd["patch_embed.proj.weight"])
+        pos = np.asarray(sd["pos_embed"])
+        pos = pos[0] if pos.ndim == 3 else pos
+        layers = 1 + max(int(m.group(1)) for k in sd
+                         if (m := re.match(r"blocks\.(\d+)\.", k)))
+        mlp = np.asarray(sd["blocks.0.mlp.fc1.weight"]).shape[0]
+    width, _, p, _ = conv.shape
+    n_tok = pos.shape[0]
+    image_size = int(round(n_tok ** 0.5)) * p
+    # SigLIP family head counts: 64-dim heads except so400m (1152/16=72)
+    heads = {768: 12, 1024: 16, 1152: 16}.get(width, max(width // 64, 1))
+    return SigLIPConfig(width=width, layers=layers, heads=heads,
+                        mlp_dim=mlp, image_size=image_size, patch_size=p)
+
+
+def main(argv=None):
+    import argparse
+    import dataclasses
+    import json
+    import os
+
+    ap = argparse.ArgumentParser(
+        description="Convert HF/open_clip SigLIP weights to a tpudf orbax "
+                    "checkpoint (+ config.json sidecar).")
+    ap.add_argument("--src", required=True,
+                    help="HF dir / hub id / .safetensors / torch .pt")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--kind", default="auto",
+                    choices=["auto", "hf", "open_clip", "mtl"])
+    ap.add_argument("--seg_layers", default="0,5,11",
+                    help="MTL only: comma-separated tap layers")
+    ap.add_argument("--embed_dim", type=int, default=512,
+                    help="MTL only: decoder embed dim")
+    args = ap.parse_args(argv)
+
+    sd = _load_state_dict(args.src)
+    kind = _detect_kind(sd) if args.kind == "auto" else args.kind
+    if kind == "mtl":
+        from tpudf.models.segformer import MTLConfig
+        enc = {k: v for k, v in sd.items()
+               if k.startswith(("encoder.", "_orig_mod.encoder."))}
+        bb_cfg = _infer_config(
+            {k.split("encoder.", 1)[1]: v for k, v in enc.items()})
+        cfg = MTLConfig(backbone=bb_cfg,
+                        seg_layers=tuple(int(s) for s in
+                                         args.seg_layers.split(",")),
+                        embed_dim=args.embed_dim)
+        params = from_reference_mtl_state_dict(sd, cfg)
+        cfg_json = {"kind": "mtl",
+                    "backbone": dataclasses.asdict(bb_cfg),
+                    "seg_layers": list(cfg.seg_layers),
+                    "embed_dim": cfg.embed_dim}
+    else:
+        cfg = _infer_config(sd)
+        params = (from_hf_state_dict(sd, cfg) if kind == "hf"
+                  else from_open_clip_state_dict(sd, cfg))
+        cfg_json = {"kind": kind, "backbone": dataclasses.asdict(cfg)}
+
+    os.makedirs(args.out, exist_ok=True)
+    from tpudf.train.checkpoint import save_checkpoint
+    save_checkpoint(os.path.join(args.out, "params"), params)
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        json.dump(cfg_json, f, indent=2)
+    import jax
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    print(f"[convert] kind={kind} params={n / 1e6:.1f}M -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

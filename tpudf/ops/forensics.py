@@ -537,6 +537,95 @@ def exposure_variation(gray):
     return jnp.std(eq, axis=1) / 60.0
 
 
+# ------------------------------------------------- benford / self-sim
+
+_BENFORD = np.log10(1.0 + 1.0 / np.arange(1, 10)).astype(np.float32)
+
+
+def benford_distance(band):
+    """L1 distance of the leading-digit histogram from Benford's law
+    (appv3.py:1750-1764). band: (B, N) wavelet coefficients → (B,).
+    Values with |x| <= 1 are excluded, exactly as the reference."""
+    x = jnp.abs(band)
+    valid = x > 1.0
+    xs = jnp.maximum(x, 1.0)
+    mags = jnp.floor(jnp.log10(xs) + 1e-9)
+    lead = jnp.floor(xs / jnp.power(10.0, mags)).astype(jnp.int32)
+    lead = jnp.where(valid & (lead >= 1) & (lead <= 9), lead, 0)
+    counts = jnp.stack([jnp.sum((lead == d).astype(jnp.float32), axis=-1)
+                        for d in range(1, 10)], axis=-1)          # (B, 9)
+    tot = jnp.sum(counts, axis=-1, keepdims=True)
+    probs = counts / (tot + _EPS)
+    dist = jnp.sum(jnp.abs(probs - jnp.asarray(_BENFORD)), axis=-1)
+    return jnp.where(tot[..., 0] > 0, dist, 0.0)
+
+
+def benford_wavelet_score(gray):
+    """Mean Benford distance over the db1 detail bands (appv3.py:1766-1775;
+    the reference tries bior4.4 then falls back to db1 — we use the db1
+    branch, which ops/dwt.py implements exactly). gray: (B,H,W) [0,1]."""
+    from tpudf.ops.dwt import haar_dwt2
+    _, (lh, hl, hh) = haar_dwt2(gray * 255.0)
+    b = gray.shape[0]
+    d = [benford_distance(c.reshape(b, -1)) for c in (lh, hl, hh)]
+    return (d[0] + d[1] + d[2]) / 3.0
+
+
+@functools.lru_cache(maxsize=2)
+def _selfsim_pair_mask(n_grid: int, patch: int):
+    """Static valid-pair mask for the self-similarity score: upper-triangle
+    pairs whose patch coordinates differ by >= 2*patch in y OR x (the
+    reference excludes near neighbours, appv3.py:2913-2915)."""
+    coords = np.stack(np.mgrid[0:n_grid, 0:n_grid], -1).reshape(-1, 2) * patch
+    dy = np.abs(coords[:, None, 0] - coords[None, :, 0])
+    dx = np.abs(coords[:, None, 1] - coords[None, :, 1])
+    far = (dy >= 2 * patch) | (dx >= 2 * patch)
+    upper = np.triu(np.ones((len(coords), len(coords)), bool), k=1)
+    return (far & upper).astype(np.float32)
+
+
+def self_similarity_anomaly_score(img, patch: int = 16):
+    """Fraction of distant patch pairs with cosine similarity > 0.90
+    (appv3.py:2886-2923). Deterministic TPU variant: instead of the
+    reference's 200-of-961 random stride-8 sample we use the full
+    non-overlapping 16px grid (256 patches, 32k valid pairs) — one einsum.
+    img: (B, 256, 256, 3) [0,1]."""
+    b, h, w, c = img.shape
+    ng = h // patch
+    t = img.reshape(b, ng, patch, ng, patch, c)
+    t = t.transpose(0, 1, 3, 2, 4, 5).reshape(b, ng * ng, patch * patch * c)
+    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
+    sims = jnp.einsum("bnd,bmd->bnm", t, t)
+    mask = jnp.asarray(_selfsim_pair_mask(ng, patch))
+    high = jnp.sum((sims > 0.90).astype(jnp.float32) * mask, axis=(1, 2))
+    return jnp.clip(high / jnp.sum(mask), 0.0, 1.0)
+
+
+def forensic_classic_score(gray):
+    """PRNU-consistency classic forensic score (appv3.py:2722-2727)."""
+    pr = prnu_consistency_score(gray)
+    return jnp.clip(1.0 - jnp.minimum(pr / 3.5, 1.0), 0.0, 1.0)
+
+
+def diffusion_score_v2(gray, img):
+    """The reference's composite diffusion score (appv3.py:2927-2931):
+    0.4*perlin_residual + 0.3*vov + 0.3*self_similarity."""
+    return jnp.clip(0.4 * perlin_residual_score(gray) + 0.3 * vov_score(gray)
+                    + 0.3 * self_similarity_anomaly_score(img), 0.0, 1.0)
+
+
+def forensic_v2_score(gray, img):
+    """forensic_v2 composite (appv3.py:2934-2951): classic + perlin +
+    texture/noise + noiseprint blended 40/60 with the diffusion score.
+    Returns (forensic_v2, diffusion) as the reference does."""
+    diff = diffusion_score_v2(gray, img)
+    v3 = jnp.clip(0.30 * forensic_classic_score(gray)
+                  + 0.30 * perlin_diffusion_score(img)
+                  + 0.20 * texture_noise_score(img)
+                  + 0.20 * noiseprint_score(gray), 0.0, 1.0)
+    return jnp.clip(0.4 * v3 + 0.6 * diff, 0.0, 1.0), diff
+
+
 # ---------------------------------------------------- aggregate priors
 
 def real_image_prior_v2(img, gray):
@@ -661,5 +750,10 @@ def forensic_battery(img):
         "real_prior_v2": real_image_prior_v2(img, gray),
         "real_prior_v3": real_image_prior_v3(img, gray),
         "real_prior_agg": real_prior_v2_aggregate(img, gray),
+        "benford_wavelet": benford_wavelet_score(gray),
+        "self_similarity": self_similarity_anomaly_score(img),
     }
+    fv2, diff_v2 = forensic_v2_score(gray, img)
+    out["diffusion_v2"] = diff_v2
+    out["forensic_v2"] = fv2
     return out

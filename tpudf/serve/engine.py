@@ -15,7 +15,13 @@ View inventory per image (all device-side, data/pipeline.py):
   19       rot90 of the flipped image
   20..35   4x4 patch-grid tiles                  (ref :3381-3462)
   36..51   rot90 duals of the patch tiles
-Total 52 views; one (B*52, S, S, 3) forward.
+  52       plain full image — embedding-anomaly reference view (ref :3494)
+Total 53 views; one (B*53, S, S, 3) forward.
+
+The 24-d frequency features are always extracted at 256px regardless of the
+view size S — the reference pins its FFT/SRM extraction to a fixed 256
+resize (appv3.py:1634), so base-384/so400m configs stay feature-compatible
+with reference-trained FreqMLPs (and the FFTs cost 256^2, not S^2).
 """
 
 from __future__ import annotations
@@ -58,6 +64,13 @@ class DetectEngine:
     fusion: Any
     cuts: CoralCutpoints
     policy: Policy = DEFAULT_POLICY
+    # optional artifacts (appv3.py parity):
+    #   mean_real: (D,) cached mean-real embedding for the cosine term of
+    #              the embedding anomaly (mean_real_embedding.npy, ref :3504)
+    #   gbdt:      models.fusion.TreeEnsemble — XGBoost fusion override
+    #              (+Platt) applied by serve/report.py (ref :5507-5578)
+    mean_real: Any = None
+    gbdt: Any = None
 
     def __post_init__(self):
         self._detect = jax.jit(functools.partial(
@@ -81,12 +94,22 @@ class DetectEngine:
             self.backbone, self.head, self.freq, self.fusion, x))
 
 
+def _freq_gray(views_flat):
+    """Grayscale at the reference's fixed 256px feature resolution
+    (appv3.py:1634 resizes to 256 before FFT/SRM, independent of S)."""
+    gray = rgb_to_gray(views_flat)
+    n, s, _ = gray.shape
+    if s != 256:
+        gray = jax.image.resize(gray, (n, 256, 256), method="bilinear")
+    return gray
+
+
 def _experts(backbone, head, freq, views_flat, cfg, policy):
     """One fused forward of both experts over (N, S, S, 3) [0,1] views."""
     feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
                            policy)["pooled"]
     z_sig = apply_binary_head(head, feats)
-    fv = extract_freq_vector(rgb_to_gray(views_flat))
+    fv = extract_freq_vector(_freq_gray(views_flat))
     z_freq = apply_freq_mlp(freq, fv)
     return z_sig, z_freq
 
@@ -125,6 +148,7 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
         rot90_view(flip)[:, None],              # 19
         patches,                                # 20..35
         jnp.rot90(patches, k=1, axes=(2, 3)),   # 36..51 patch rot dual views
+        x[:, None],                             # 52 full image (embed view)
     ], axis=1)
     nv = views.shape[1]
     views_flat = views.reshape(b * nv, s, s, 3)
@@ -132,12 +156,17 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
                            policy)["pooled"]
     z_sig = apply_binary_head(head, feats).reshape(b, nv)
 
+    # embedding-anomaly reference view: the plain full image's pooled
+    # features (appv3.py:3494-3516 encodes the uncropped image)
+    embed_feat = feats.reshape(b, nv, -1)[:, 52].astype(jnp.float32)
+    embed_l2 = jnp.linalg.norm(embed_feat, axis=-1)
+
     # frequency expert only on views whose freq logits are consumed —
-    # rot-dual views (9, 19, 36..51) feed the visual blend only
+    # rot-dual views (9, 19, 36..51) and the embed view feed nothing here
     freq_idx = list(range(0, 9)) + list(range(10, 19)) + list(range(20, 36))
     fviews = views[:, jnp.asarray(freq_idx)].reshape(
         b * len(freq_idx), s, s, 3)
-    fv = extract_freq_vector(rgb_to_gray(fviews))
+    fv = extract_freq_vector(_freq_gray(fviews))
     z_freq_used = apply_freq_mlp(freq, fv).reshape(b, len(freq_idx))
     zf_main = z_freq_used[:, 0:9]
     zf_tta = z_freq_used[:, 9:18]
@@ -176,6 +205,8 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
         "patch_probs": patch_probs,
         "max_patch": jnp.max(patch_probs, axis=1),
         "patch_mean": jnp.mean(patch_probs, axis=1),
+        "embed_l2": embed_l2,
+        "embed_feat": embed_feat,
     }
 
 

@@ -75,6 +75,70 @@ def face_region_retouch_score(face_rgb_uint8):
     return 0.5 * perlin + 0.5 * hf_flat
 
 
+def _box_geometry_vec(box, frame_shape):
+    """4-d geometry vector for a Haar face box — the landmark-free
+    substitute for the reference's 5-point vector (appv3.py:3577-3593):
+    [aspect ratio, relative center x, relative center y, relative size]."""
+    x, y, w, h = box
+    H, W = frame_shape[:2]
+    return np.asarray([w / max(h, 1.0), (x + w / 2) / W, (y + h / 2) / H,
+                       np.sqrt(w * h) / np.sqrt(H * W)], np.float32)
+
+
+def face_topology_drift(frames_rgb_uint8):
+    """Per-frame face-geometry drift (appv3.py:3557-3605). The reference
+    normalizes 5-pt landmark distances by the bbox; the Haar substitute
+    tracks the largest box's aspect/position/size vector. Same drift map:
+    clip((mean ||v_t - v_{t+1}|| - 0.03) / 0.12, 0, 1). None if < 3 faces."""
+    vecs = []
+    for f in frames_rgb_uint8:
+        boxes = detect_faces(np.asarray(f))
+        if not boxes:
+            continue
+        box = max(boxes, key=lambda b: b[2] * b[3])
+        vecs.append(_box_geometry_vec(box, np.asarray(f).shape))
+    if len(vecs) < 3:
+        return None
+    diffs = [float(np.linalg.norm(vecs[i] - vecs[i + 1]))
+             for i in range(len(vecs) - 1)]
+    drift = float(np.mean(diffs))
+    return float(np.clip((drift - 0.03) / 0.12, 0.0, 1.0))
+
+
+def face_track_drift(frames_rgb_uint8, embed_fn):
+    """Dominant-face track drift (appv3.py:3650-3755): 0.6 x embedding
+    drift + 0.4 x geometry drift over IoU-tracked largest-face crops.
+    Haar boxes carry no identity, so the track is greedy largest-box; the
+    embedding stream uses `embed_fn` (the engine tower) on 112px crops."""
+    geom, crops = [], []
+    for f in frames_rgb_uint8:
+        arr = np.asarray(f)
+        boxes = detect_faces(arr)
+        if not boxes:
+            continue
+        box = max(boxes, key=lambda b: b[2] * b[3])
+        geom.append(_box_geometry_vec(box, arr.shape))
+        c = face_crop(arr, out_size=112)
+        if c is not None:
+            crops.append(c)
+    scores = []
+    if len(crops) >= 3 and embed_fn is not None:
+        emb = np.asarray(embed_fn(np.stack(crops)))
+        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-6)
+        sims = np.sum(emb[:-1] * emb[1:], axis=1)
+        drift = 1.0 - float(np.mean(sims))
+        scores.append((float(np.clip((drift - 0.04) / 0.20, 0.0, 1.0)), 0.6))
+    if len(geom) >= 3:
+        diffs = [float(np.linalg.norm(geom[i] - geom[i + 1]))
+                 for i in range(len(geom) - 1)]
+        drift = float(np.mean(diffs))
+        scores.append((float(np.clip((drift - 0.03) / 0.12, 0.0, 1.0)), 0.4))
+    if not scores:
+        return None
+    tw = sum(w for _, w in scores)
+    return float(sum(v * w for v, w in scores) / tw)
+
+
 def face_embedding_drift(frames_rgb_uint8, embed_fn):
     """Per-frame face-crop embedding drift (ArcFace-drift substitute).
     embed_fn(batch_uint8 (N,S,S,3)) → (N, D) L2-normalized embeddings."""

@@ -31,6 +31,59 @@ def _jitted_battery():
     return jax.jit(forensic_battery)
 
 
+def _embedding_anomaly(core, mean_real):
+    """0.6 x L2-norm term + 0.4 x cosine-deviation term vs the cached
+    mean-real embedding (appv3.py:3494-3516). Returns (score, l2, cos_dev)
+    arrays; cos_dev is 0 when no mean-real anchor is loaded, exactly like
+    the reference without MEAN_EMBEDDING."""
+    l2 = np.asarray(core["embed_l2"], np.float64)
+    l2n = np.minimum(1.0, l2 / 28.0)
+    cos_dev = np.zeros_like(l2)
+    if mean_real is not None:
+        feat = np.asarray(core["embed_feat"], np.float64)
+        mr = np.asarray(mean_real, np.float64)
+        denom = (np.linalg.norm(feat, axis=1) * np.linalg.norm(mr) + 1e-6)
+        cos = feat @ mr / denom
+        cos_dev = np.clip((1.0 - cos) * 3.0, 0.0, 1.0)
+    return 0.6 * l2n + 0.4 * cos_dev, l2, cos_dev
+
+
+def _face_signals(engine, pixels_uint8):
+    """Face-crop expert escalation + retouch score (appv3.py:5429-5452):
+    for each image with a detected face covering >= 8% of the frame and at
+    least 96px on a side, run the FULL expert stack on the crop; all
+    qualifying crops go through one batched engine call. Returns
+    (face_p_fake, face_retouch) lists with None where no face qualifies."""
+    from tpudf.serve.face import face_crop, face_region_retouch_score
+    b = pixels_uint8.shape[0]
+    p_fake = [None] * b
+    retouch = [None] * b
+    idx, crops = [], []
+    s = int(pixels_uint8.shape[1])
+    for i in range(b):
+        img = pixels_uint8[i]
+        c = face_crop(img)
+        if c is None:
+            continue
+        fh, fw = c.shape[:2]
+        area_ratio = (fh * fw) / float(img.shape[0] * img.shape[1])
+        retouch[i] = float(face_region_retouch_score(
+            np.asarray(jax.image.resize(jnp.asarray(c, jnp.float32),
+                                        (256, 256, 3), "bilinear"),
+                       np.float32).clip(0, 255).astype(np.uint8)))
+        if area_ratio >= 0.08 and min(fh, fw) >= 96:
+            idx.append(i)
+            crops.append(np.asarray(jax.image.resize(
+                jnp.asarray(c, jnp.float32), (s, s, 3), "bilinear"),
+                np.float32).clip(0, 255).astype(np.uint8))
+    if idx:
+        face_core = engine.predict_batch(np.stack(crops))
+        raw = np.asarray(face_core["p_fake_raw"], np.float64)
+        for j, i in enumerate(idx):
+            p_fake[i] = float(raw[j])
+    return p_fake, retouch
+
+
 def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
                    decision: DecisionConfig = DEFAULT_DECISION,
                    fast: bool = False) -> list[dict]:
@@ -54,25 +107,74 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
         max_patch = np.asarray(core["max_patch"], np.float64)
     patch_spread = max_patch - patch_mean
 
-    # generator-likelihood vote (appv3.py:5355-5505 context)
+    # full-path-only host/anchored signals (appv3.py gates these on
+    # `not fast_mode` too: embed :5240-5242, render :5385-5394, face :5429)
+    if fast:
+        embed_score = np.zeros(b)
+        embed_l2 = np.zeros(b)
+        embed_cos = np.zeros(b)
+        render = np.zeros(b)
+        face_p_fake = [None] * b
+        face_retouch = [None] * b
+    else:
+        embed_score, embed_l2, embed_cos = _embedding_anomaly(
+            core, engine.mean_real)
+        from tpudf.fuse.temporal import rendering_pipeline_score
+        render = np.asarray([rendering_pipeline_score(
+            [pixels_uint8[i], pixels_uint8[i, :, ::-1]]) for i in range(b)])
+        face_p_fake, face_retouch = _face_signals(engine, pixels_uint8)
+
+    # generator-likelihood vote (appv3.py:2569-2645 via :5472-5496)
     gen = np.asarray(image_generator_likelihood({
-        "diffusion": jnp.asarray(fb["diffusion"]),
+        "diffusion": jnp.asarray(fb["diffusion_v2"]),
         "perlin": jnp.asarray(fb["perlin"]),
         "texture_noise": jnp.asarray(fb["texture_noise"]),
+        "render": jnp.asarray(render),
         "jpeg_q": jnp.asarray(fb["jpeg_q_mismatch"]),
         "sat_peak": jnp.asarray(fb["saturation_peak"]),
         "spectral": jnp.asarray(fb["spectral_flatness"]),
         "cfa_fake": jnp.asarray(fb["cfa_fake"]),
         "esrgan": jnp.asarray(fb["esrgan_grid"]),
+        "embedding_anomaly": jnp.asarray(embed_score),
         "patch_spread": jnp.asarray(patch_spread),
+        "head_delta": jnp.asarray(np.abs(visual - freq)),
         "prnu_scaled": jnp.asarray(np.clip(fb["prnu_strength"] / 0.8, 0, 1)),
         "grain_real": jnp.asarray(fb["grain"]),
         "real_prior_v4": jnp.asarray(fb["real_prior_agg"]),
         "hc_score": jnp.asarray(1.0 - fb["histogram_consistency"]),
     }))
 
-    forensic_score = np.clip(0.5 * gen + 0.25 * fb["perlin"]
-                             + 0.25 * fb["diffusion"], 0, 1)
+    # v3 forensic fusion (appv3.py:2934-2951 via :5455 forensic_v2)
+    forensic_score = fb["forensic_v2"].astype(np.float64)
+
+    # XGBoost/GBDT fusion override (appv3.py:5507-5578): when a booster +
+    # Platt artifact is attached, its probability replaces the core fusion
+    # probability (19-d feature order matches the reference exactly)
+    xgb_prob = None
+    if engine.gbdt is not None and not fast:
+        z_sig_v = np.asarray(core["z_sig"], np.float64)
+        z_freq_v = np.asarray(core["z_freq"], np.float64)
+        diff_v2 = fb["diffusion_v2"].astype(np.float64)
+        cfa = fb["cfa_fake"].astype(np.float64)
+        feats19 = np.stack([
+            z_sig_v, z_freq_v, np.abs(z_sig_v - z_freq_v),
+            visual, freq,
+            np.clip(0.4 * diff_v2 + 0.6 * cfa, 0, 1),
+            diff_v2,
+            fb["spectral_flatness"].astype(np.float64),
+            np.zeros(b),                       # edge continuity (disabled)
+            fb["color_correlation"].astype(np.float64),
+            fb["jpeg_residual"].astype(np.float64),
+            embed_score,
+            max_patch, patch_mean, patch_spread,
+            cfa,
+            fb["texture_noise"].astype(np.float64),
+            fb["perlin"].astype(np.float64),
+            np.abs(visual - freq),
+        ], axis=1).astype(np.float32)
+        xgb_prob = np.asarray(engine.gbdt.predict_proba(
+            jnp.asarray(feats19)), np.float64)
+        p_blend = xgb_prob.copy()
 
     bayes = jax.tree.map(np.asarray, bayesian_fuse_v2({
         "visual": jnp.asarray(visual),
@@ -115,6 +217,15 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
         head_delta = abs(visual[i] - freq[i])
         prnu_scaled = float(np.clip(fb["prnu_strength"][i] / 0.8, 0, 1))
 
+        # opt-in false-positive shield (appv3.py:3191-3208)
+        if decision.use_stabilized_fusion and not fast and xgb_prob is None:
+            from tpudf.fuse.decision import stabilized_fusion
+            p_final = stabilized_fusion(
+                float(np.asarray(core["p_fake_raw"])[i]),
+                float(np.asarray(core["p_fake_coral"])[i]),
+                float(visual[i]), float(freq[i]),
+                float(max_patch[i]), float(patch_mean[i]))
+
         # diagnostics: three-way + RBR rule-table outputs (also applied
         # inside the cascade)
         three_way = classify_three_way(
@@ -128,9 +239,12 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
             fb["cfa_fake"][i], fb["perlin"][i], fb["grain"][i],
             fb["multiscale_fft"][i], patch_mean[i], patch_spread[i])
 
+        # XGB override keeps p_global in sync (appv3.py:5576-5578)
+        p_global = (float(xgb_prob[i]) if xgb_prob is not None
+                    else float(np.asarray(core["p_fake_coral"])[i]))
         cascade = full_label_cascade({
             "p_final": p_final,
-            "p_global": float(np.asarray(core["p_fake_coral"])[i]),
+            "p_global": p_global,
             "patch_mean": float(patch_mean[i]),
             "patch_spread": float(patch_spread[i]),
             "head_delta": float(head_delta),
@@ -153,6 +267,9 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
             "prnu_scaled": prnu_scaled,
             "visual_prob": float(visual[i]),
             "freq_prob": float(freq[i]),
+            "render": float(render[i]),
+            "face_p_fake": face_p_fake[i],
+            "face_retouch": face_retouch[i],
         }, decision)
         final_label = cascade["label"]
         p_final = cascade["p_final"]
@@ -194,6 +311,14 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
             "saturation_peak_score": float(fb["saturation_peak"][i]),
             "cfa_fake_score": float(fb["cfa_fake"][i]),
             "prnu_strength_raw": float(fb["prnu_strength"][i]),
+            "embedding_anomaly": float(embed_score[i]),
+            "embedding_l2": float(embed_l2[i]),
+            "embedding_cos_dev": float(embed_cos[i]),
+            "rendering_pipeline_score": float(render[i]),
+            "face_p_fake": face_p_fake[i],
+            "face_retouch_score": face_retouch[i],
+            "xgb_fusion_prob": (float(xgb_prob[i]) if xgb_prob is not None
+                                else None),
         }
         # per-cue forensic signals
         for k, v in fb.items():
@@ -275,6 +400,46 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
                    compute_temporal_signals(x, embeds).items()}
         if flow_signals:
             signals.update(host_flow_signals(list(frames_uint8)))
+
+        # face temporal drift family (appv3.py:3557-3755) — 22% of the
+        # SORA vote; embeddings come from the engine's own tower
+        from tpudf.serve import face as face_mod
+
+        def _face_embed_fn(batch_uint8):
+            from tpudf.models.siglip import siglip_forward
+            from tpudf.data.pipeline import normalize_siglip
+            xs = jax.image.resize(
+                jnp.asarray(batch_uint8).astype(jnp.float32) / 255.0,
+                (len(batch_uint8), engine.cfg.image_size,
+                 engine.cfg.image_size, 3), "bilinear")
+            return np.asarray(siglip_forward(
+                engine.backbone, normalize_siglip(xs), engine.cfg,
+                engine.policy)["pooled"])
+
+        for key, compute in (
+                ("face_topology_drift",
+                 lambda: face_mod.face_topology_drift(list(frames_uint8))),
+                ("face_embedding_drift",
+                 lambda: face_mod.face_embedding_drift(
+                     list(frames_uint8), _face_embed_fn)),
+                ("face_track_drift",
+                 lambda: face_mod.face_track_drift(
+                     list(frames_uint8), _face_embed_fn))):
+            try:
+                v = compute()
+            except Exception:
+                v = None
+            if v is not None:
+                signals[key] = float(v)
+
+        # rendering-pipeline regularity over the sampled frames (the video
+        # counterpart of appv3.py:2525-2566; reported, not SORA-weighted)
+        try:
+            from tpudf.fuse.temporal import rendering_pipeline_score
+            signals["render_regularity"] = float(
+                rendering_pipeline_score(list(frames_uint8)))
+        except Exception:
+            pass
         sora = aggregate_sora(signals)
 
     # escalation cascade (appv3.py:6507-6534)
