@@ -88,3 +88,20 @@ def test_block_apply_cpu_matches_pre_fusion():
                     .standard_normal((2, 32, 32, 3)), jnp.float32)
     out = siglip_forward(bb, x, cfg, F32_POLICY)["pooled"]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_layer_norm_quant_interpret_matches_reference():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpudf.ops.layernorm import layer_norm_quant
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (4, 96, 128)), jnp.float32)
+    g = jnp.asarray(rng.normal(1, 0.1, (128,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (128,)), jnp.float32)
+    s = jnp.asarray(3.0, jnp.float32)
+    got = np.asarray(layer_norm_quant(x, g, b, s, interpret=True))
+    ref = np.asarray(layer_norm_quant(x, g, b, s))     # XLA fallback (CPU)
+    assert got.dtype == np.int8
+    np.testing.assert_array_equal(got, ref)

@@ -32,3 +32,38 @@ def test_quantized_backbone_cosine():
     cos = np.sum(ref * out, 1) / (
         np.linalg.norm(ref, axis=1) * np.linalg.norm(out, axis=1))
     assert cos.min() > 0.995
+
+
+def test_int8_matmul_static_close():
+    from tpudf.ops.quant import int8_matmul_static
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (64, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (128, 256)), jnp.float32)
+    wq = quantize_weight(w)
+    s = jnp.max(jnp.abs(x))
+    ref = np.asarray(x @ w)
+    got = np.asarray(int8_matmul_static(x, wq, s, jnp.float32))
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.03
+
+
+def test_static_quantized_backbone_cosine():
+    """Calibrated W8A8 tower tracks the float tower (PTQ accuracy bar)."""
+    from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                 quantize_siglip_static)
+    cfg = CONFIGS["test-32"]
+    bb = init_siglip(jax.random.key(0), cfg)
+    rng = np.random.default_rng(2)
+    calib = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    scales = calibrate_siglip_act_scales(bb, cfg, calib, F32_POLICY)
+    for k in ("qkv", "out", "fc1", "fc2"):
+        assert scales[k].shape == (cfg.layers,)
+        assert float(scales[k].min()) > 0
+    qbb = quantize_siglip_static(bb, scales)
+
+    px = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(siglip_forward(bb, px, cfg, F32_POLICY)["pooled"])
+    out = np.asarray(siglip_forward(qbb, px, cfg, F32_POLICY)["pooled"])
+    cos = np.sum(ref * out, 1) / (
+        np.linalg.norm(ref, axis=1) * np.linalg.norm(out, axis=1))
+    assert cos.min() > 0.99

@@ -116,15 +116,17 @@ def init_mtl(key, cfg: MTLConfig, backbone_params=None):
 
 def mtl_forward(params, pixels, cfg: MTLConfig,
                 policy: Policy = DEFAULT_POLICY, cls_dropout_rng=None,
-                dropout_rate=0.0):
+                dropout_rate=0.0, stop_grad_below=0):
     """pixels: (B, S, S, 3) → (cls_logits (B,3), seg_logits (B,S,S)).
 
     Mirrors SigLIP2_MTL.forward (siglip2siddataset.py:777-786): pooled output
     → 3-class head; hidden states at seg_layers (+1 offset, -1 = last) →
-    decoder upsampled to the input size.
+    decoder upsampled to the input size. stop_grad_below: see siglip_forward
+    — pass the freeze boundary to skip the frozen prefix's backward.
     """
     out = siglip_forward(params["backbone"], pixels, cfg.backbone, policy,
-                         output_hidden_states=True)
+                         output_hidden_states=True,
+                         stop_grad_below=stop_grad_below)
     pooled = out["pooled"]
     if cls_dropout_rng is not None and dropout_rate > 0:
         keep = 1.0 - dropout_rate

@@ -284,9 +284,31 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
                          residual=x, interpret=interpret)
         return mlp_block_fused(x, bp["ln2"], bp["mlp"], cfg.ln_eps,
                                interpret=interpret)
-    mm_ = (lambda a, w: int8_matmul(a, w, a.dtype))
+    from tpudf.ops.quant import (int8_matmul_pre, int8_matmul_static,
+                                 is_static_quantized)
+    if is_static_quantized(bp):
+        # W8A8 with calibrated per-tensor activation scales: LN emits int8
+        # directly (Pallas fused, ops/layernorm.layer_norm_quant) and the
+        # int8 dot runs at ~2x the bf16 MXU rate (ops/quant.py notes)
+        from tpudf.ops.layernorm import layer_norm_quant
+        sc = bp["act_scales"]
+        hq = layer_norm_quant(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                              sc["qkv"], cfg.ln_eps, interpret=interpret)
+        qkv = int8_matmul_pre(hq, bp["attn"]["qkv_w"], sc["qkv"]) \
+            + bp["attn"]["qkv_b"]
+        o = attention_qkv(qkv.astype(x.dtype), cfg.heads, cfg.head_dim,
+                          interpret=interpret)
+        x = x + (int8_matmul_static(o, bp["attn"]["out_w"], sc["out"])
+                 + bp["attn"]["out_b"])
+        hq = layer_norm_quant(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                              sc["fc1"], cfg.ln_eps, interpret=interpret)
+        h = gelu_tanh(int8_matmul_pre(hq, bp["mlp"]["fc1_w"], sc["fc1"])
+                      + bp["mlp"]["fc1_b"])
+        x = x + (int8_matmul_static(h, bp["mlp"]["fc2_w"], sc["fc2"])
+                 + bp["mlp"]["fc2_b"])
+        return x
+    mm_ = lambda a, w: int8_matmul(a, w, a.dtype)
     h = layer_norm(x, bp["ln1"], cfg.ln_eps)
-    b, s, w = h.shape
     qkv = mm_(h, bp["attn"]["qkv_w"]) + bp["attn"]["qkv_b"]
     o = attention_qkv(qkv, cfg.heads, cfg.head_dim, interpret=interpret)
     x = x + (mm_(o, bp["attn"]["out_w"]) + bp["attn"]["out_b"])
@@ -317,6 +339,7 @@ def map_head(tokens, hp, cfg: SigLIPConfig, policy: Policy, interpret=False):
 def siglip_forward(params, pixels, cfg: SigLIPConfig,
                    policy: Policy = DEFAULT_POLICY,
                    *, output_hidden_states: bool = False,
+                   stop_grad_below: int = 0,
                    interpret: bool = False):
     """Run the vision tower.
 
@@ -326,6 +349,13 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
       "pooled":  (B, W) MAP-head output (if cfg.with_head)
       "hidden_states": tuple of per-layer outputs (embeddings output first,
         then after each block — HF semantics) when requested.
+
+    stop_grad_below: when training with layers < k frozen (the reference's
+    frozen recipe, Siglip2sidafrozen.py:754-770), setting k inserts a
+    stop_gradient at the layer-k boundary (and on the frozen layers' hidden
+    taps) so XLA dead-code-eliminates the entire backward pass of the frozen
+    prefix — ~2x train-step FLOPs saved when most layers are frozen. Zero
+    effect on any trainable parameter's gradient.
     """
     b, h, w, _ = pixels.shape
     patch = cfg.patch_size
@@ -347,24 +377,35 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
     cast = lambda t: jax.tree.map(
         lambda a: a.astype(cdt) if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
 
-    if output_hidden_states:
-        # python loop — we need every intermediate activation
-        for i in range(cfg.layers):
-            bp = cast(jax.tree.map(lambda a: a[i], blocks))
-            fn = _block_apply
-            if cfg.remat:
-                fn = jax.checkpoint(fn, static_argnums=(2, 3, 4))
-            x = fn(x, bp, cfg, policy, interpret)
-            hidden.append(x)
+    # lax.scan over stacked block params: single trace/compile of one block
+    # (also when hidden states are requested — scan stacks the per-layer
+    # outputs, so the MTL path compiles one block instead of L copies and
+    # cfg.remat applies per block)
+    def body(x, bp):
+        bp = cast(bp)
+        fn = _block_apply
+        if cfg.remat:
+            fn = jax.checkpoint(fn, static_argnums=(2, 3, 4))
+        y = fn(x, bp, cfg, policy, interpret)
+        return y, (y if output_hidden_states else None)
+
+    k = max(0, min(int(stop_grad_below), cfg.layers))
+    if k > 0:
+        lo = jax.tree.map(lambda a: a[:k], blocks)
+        hi = jax.tree.map(lambda a: a[k:], blocks)
+        x, st_lo = jax.lax.scan(body, x, lo)
+        x = jax.lax.stop_gradient(x)
+        if output_hidden_states:
+            hidden[0] = jax.lax.stop_gradient(hidden[0])
+            hidden.extend(jax.lax.stop_gradient(st_lo[i]) for i in range(k))
+        if k < cfg.layers:
+            x, st_hi = jax.lax.scan(body, x, hi)
+            if output_hidden_states:
+                hidden.extend(st_hi[i] for i in range(cfg.layers - k))
     else:
-        # lax.scan over stacked block params: single trace/compile of one block
-        def body(x, bp):
-            bp = cast(bp)
-            fn = _block_apply
-            if cfg.remat:
-                fn = jax.checkpoint(fn, static_argnums=(2, 3, 4))
-            return fn(x, bp, cfg, policy, interpret), None
-        x, _ = jax.lax.scan(body, x, blocks)
+        x, stacked = jax.lax.scan(body, x, blocks)
+        if output_hidden_states:
+            hidden.extend(stacked[i] for i in range(cfg.layers))
 
     tokens = layer_norm(x, params["post_ln"], cfg.ln_eps)
     out = {"tokens": tokens}

@@ -291,7 +291,11 @@ def attention_qkv(qkv, heads, head_dim, scale=None, *, use_pallas=None,
     scale = scale if scale is not None else head_dim ** -0.5
     if use_pallas is None:
         use_pallas = _on_tpu()
-    lane_ok = (head_dim % 128 == 0) or (128 % head_dim == 0)
+    # mosaic block constraint: the per-group column span (W/ngroups) must be
+    # a multiple of the 128-lane tile — widths below 128 (test configs)
+    # can never satisfy it, so they take the XLA path
+    lane_ok = ((head_dim % 128 == 0) or (128 % head_dim == 0)) \
+        and (qkv.shape[-1] // 3) % 128 == 0
     if (use_pallas or interpret) and lane_ok:
         return _fused_qkv_with_vjp(int(heads), int(head_dim), float(scale),
                                    bool(interpret))(qkv)

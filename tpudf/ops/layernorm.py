@@ -69,6 +69,59 @@ def _fused_ln(eps: float, interpret: bool):
     return f
 
 
+def _ln_quant_kernel(x_ref, s_ref, b_ref, q_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    m2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    y = (x - mu) * jax.lax.rsqrt(var + eps) * s_ref[...] + b_ref[...]
+    inv = 127.0 / q_ref[0]
+    o_ref[...] = jnp.clip(jnp.round(y * inv), -127, 127).astype(jnp.int8)
+
+
+def layer_norm_quant(x, scale, bias, act_scale, eps=1e-6, *,
+                     block_rows=256, interpret=False):
+    """Fused LN emitting a symmetric-int8 row directly (one bf16 read, one
+    int8 write) — feeds ops/quant.int8_matmul_pre on the W8A8 path. The
+    separate LN→quantize chain would round-trip the bf16 LN output through
+    HBM; fusing the emission halves the quant path's activation traffic."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    lead = x.shape[:-1]
+    w = x.shape[-1]
+    act = jnp.asarray(act_scale, jnp.float32).reshape(1)
+    if not (on_tpu or interpret) or w % 128 != 0:
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.)
+        y = (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+        q = jnp.clip(jnp.round(y * (127.0 / act[0])), -127, 127)
+        return q.astype(jnp.int8).reshape(*lead, w)
+    x2d = x.reshape(-1, w)
+    n = x2d.shape[0]
+    rows = min(block_rows, n)
+    pad = (-n) % rows
+    if pad:
+        x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=float(eps)),
+        grid=((n + pad) // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((rows, w), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.int8),
+        interpret=interpret,
+    )(x2d, scale.astype(jnp.float32), bias.astype(jnp.float32), act)
+    out = out[:n] if pad else out
+    return out.reshape(*lead, w)
+
+
 def layer_norm_fused(x, scale, bias, eps=1e-6, *, interpret=False):
     """(..., W) fused LN; falls back to XLA off-TPU."""
     try:

@@ -86,3 +86,96 @@ def quantize_siglip(params):
 def is_quantized(block_params) -> bool:
     return isinstance(block_params["attn"]["qkv_w"], dict) \
         and "q" in block_params["attn"]["qkv_w"]
+
+
+# ------------------------------------------------- static-scale W8A8 path
+#
+# Measured on the v5e ('axon'): per-ROW dynamic activation quantization eats
+# the whole int8 MXU win (full tower +8% only) because the abs-max reduction
+# + f32 round/clip costs a full extra activation pass per projection. With a
+# STATIC per-tensor activation scale (calibrated offline) the quantize is a
+# scalar-mul/round/clip chain XLA fuses into the producing op, and the int8
+# dot_general runs at ~2x the bf16 MXU rate (scripts/micro_int8.py).
+
+def int8_matmul_static(x, wq, act_scale, out_dtype=None):
+    """x: (..., in) float; wq: quantize_weight dict; act_scale: scalar f32.
+    W8A8 with symmetric per-tensor activation scale."""
+    out_dtype = out_dtype or x.dtype
+    act_scale = act_scale.astype(jnp.float32)          # keep scales exact
+    inv = 127.0 / act_scale
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                 -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, wq["q"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (act_scale / 127.0)
+            * wq["scale"].astype(jnp.float32)).astype(out_dtype)
+
+
+def int8_matmul_pre(q, wq, act_scale, out_dtype=jnp.bfloat16):
+    """Pre-quantized int8 activations (from ops/layernorm.layer_norm_quant)
+    x int8 weights → dequantized float output."""
+    act_scale = jnp.asarray(act_scale, jnp.float32)
+    acc = jax.lax.dot_general(
+        q, wq["q"], (((q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (act_scale / 127.0)
+            * wq["scale"].astype(jnp.float32)).astype(out_dtype)
+
+
+def calibrate_siglip_act_scales(params, cfg, pixels, policy=None):
+    """Run the bf16/f32 tower over a calibration batch and record the
+    abs-max of each projection's input per layer (standard PTQ calibration).
+
+    Returns {"qkv": (L,), "out": (L,), "fc1": (L,), "fc2": (L,)} f32.
+    """
+    from tpudf.core.precision import DEFAULT_POLICY
+    from tpudf.models import siglip as S
+
+    policy = policy or DEFAULT_POLICY
+    cdt = policy.compute_dtype
+    b, h, w, _ = pixels.shape
+    patch = cfg.patch_size
+    gh, gw = h // patch, w // patch
+
+    x = S.patchify(pixels.astype(cdt), patch)
+    x = x @ params["embed"]["kernel"].astype(cdt) \
+        + params["embed"]["bias"].astype(cdt)
+    pos = params["embed"]["pos"]
+    if (gh, gw) != (cfg.grid, cfg.grid):
+        pos = S.interpolate_pos(pos, cfg.grid, (gh, gw))
+    x = x + pos.astype(cdt)
+
+    scales = {"qkv": [], "out": [], "fc1": [], "fc2": []}
+    amax = lambda t: jnp.maximum(jnp.max(jnp.abs(
+        t.astype(jnp.float32))), 1e-3)
+    for i in range(cfg.layers):
+        bp = jax.tree.map(lambda a: a[i].astype(cdt)
+                          if jnp.issubdtype(a.dtype, jnp.floating) else a[i],
+                          params["blocks"])
+        h1 = S.layer_norm(x, bp["ln1"], cfg.ln_eps)
+        scales["qkv"].append(amax(h1))
+        qkv = h1 @ bp["attn"]["qkv_w"] + bp["attn"]["qkv_b"]
+        from tpudf.ops.attention import attention_qkv
+        o = attention_qkv(qkv, cfg.heads, cfg.head_dim, use_pallas=False)
+        scales["out"].append(amax(o))
+        x = x + (o @ bp["attn"]["out_w"] + bp["attn"]["out_b"])
+        h2 = S.layer_norm(x, bp["ln2"], cfg.ln_eps)
+        scales["fc1"].append(amax(h2))
+        g = S.gelu_tanh(h2 @ bp["mlp"]["fc1_w"] + bp["mlp"]["fc1_b"])
+        scales["fc2"].append(amax(g))
+        x = x + (g @ bp["mlp"]["fc2_w"] + bp["mlp"]["fc2_b"])
+    return {k: jnp.stack(v).astype(jnp.float32) for k, v in scales.items()}
+
+
+def quantize_siglip_static(params, act_scales):
+    """Static-activation-scale int8 param tree: quantize_siglip layout plus
+    per-layer activation scales under blocks["act_scales"]."""
+    out = quantize_siglip(params)
+    out["blocks"]["act_scales"] = {k: jnp.asarray(v, jnp.float32)
+                                   for k, v in act_scales.items()}
+    return out
+
+
+def is_static_quantized(block_params) -> bool:
+    return is_quantized(block_params) and "act_scales" in block_params

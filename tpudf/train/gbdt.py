@@ -34,20 +34,25 @@ def _fit_tree(X, grad, hess, depth, n_bins, lam, min_child):
             continue
         best = None
         parent_score = g * g / (h + lam)
+        gi, hi = grad[idx], hess[idx]
         for f in range(X.shape[1]):
             xs = X[idx, f]
-            qs = np.quantile(xs, np.linspace(0.05, 0.95, n_bins))
-            for t in np.unique(qs):
-                m = xs < t
-                nl = int(m.sum())
-                if nl < min_child or len(idx) - nl < min_child:
-                    continue
-                gl, hl = grad[idx[m]].sum(), hess[idx[m]].sum()
-                gr, hr = g - gl, h - hl
-                gain = (gl * gl / (hl + lam) + gr * gr / (hr + lam)
-                        - parent_score)
-                if best is None or gain > best[0]:
-                    best = (gain, f, t, m)
+            qs = np.unique(np.quantile(xs, np.linspace(0.05, 0.95, n_bins)))
+            # vectorized split scan: (n_idx, n_thresh) mask → per-threshold
+            # left sums as two matvecs instead of a python threshold loop
+            lm = xs[:, None] < qs[None, :]
+            nl = lm.sum(0)
+            ok = (nl >= min_child) & (len(idx) - nl >= min_child)
+            if not ok.any():
+                continue
+            gl = gi @ lm
+            hl = hi @ lm
+            gr, hr = g - gl, h - hl
+            gain = np.where(ok, gl * gl / (hl + lam) + gr * gr / (hr + lam)
+                            - parent_score, -np.inf)
+            j = int(np.argmax(gain))
+            if best is None or gain[j] > best[0]:
+                best = (gain[j], f, qs[j], lm[:, j])
         if best is None or best[0] <= 1e-6:
             continue
         _, f, t, m = best
@@ -64,14 +69,22 @@ def _fit_tree(X, grad, hess, depth, n_bins, lam, min_child):
 
 
 def _predict_tree(nodes, X):
-    out = np.zeros(len(X))
-    for i, x in enumerate(X):
-        n = 0
-        while nodes[n].feature >= 0:
-            n = nodes[n].left if x[nodes[n].feature] < nodes[n].threshold \
-                else nodes[n].right
-        out[i] = nodes[n].value
-    return out
+    """Vectorized descent: all samples walk the tree together (leaves
+    self-loop, so `depth` gather steps suffice) — no per-sample host loop."""
+    feat = np.array([n.feature for n in nodes])
+    thr = np.array([n.threshold for n in nodes])
+    left = np.array([n.left if n.feature >= 0 else i
+                     for i, n in enumerate(nodes)])
+    right = np.array([n.right if n.feature >= 0 else i
+                      for i, n in enumerate(nodes)])
+    val = np.array([n.value for n in nodes])
+    n = np.zeros(len(X), np.int64)
+    depth = max(1, int(np.ceil(np.log2(len(nodes) + 1))) + 1)
+    safe_feat = np.maximum(feat, 0)
+    for _ in range(depth):
+        go_left = X[np.arange(len(X)), safe_feat[n]] < thr[n]
+        n = np.where(feat[n] >= 0, np.where(go_left, left[n], right[n]), n)
+    return val[n]
 
 
 def train_gbdt(X, y, *, n_trees=50, depth=3, lr=0.2, n_bins=16, lam=1.0,

@@ -42,9 +42,11 @@ def _masked_seg_loss(seg_logits, masks, has_mask, kind="combined"):
 
 
 def mtl_loss_fn(params, batch, cfg: MTLConfig, policy, cls_w, seg_w,
-                seg_loss="combined", label_smoothing=0.0, rng=None):
+                seg_loss="combined", label_smoothing=0.0, rng=None,
+                stop_grad_below=0):
     cls_logits, seg_logits = mtl_forward(params, batch["pixels"], cfg, policy,
-                                         cls_dropout_rng=rng)
+                                         cls_dropout_rng=rng,
+                                         stop_grad_below=stop_grad_below)
     l_cls = softmax_ce(cls_logits, batch["cls"], 3, label_smoothing)
     l_seg = _masked_seg_loss(seg_logits, batch["mask"], batch["has_mask"],
                              seg_loss)
@@ -106,10 +108,16 @@ def make_mtl_train_step(cfg: MTLConfig, optimizer, policy, *,
         return MTLTrainState(params, optimizer.init(params),
                              jnp.zeros((), jnp.int32))
 
+    # stop-gradient at the freeze boundary: XLA drops the frozen prefix's
+    # backward entirely (the apply_freeze zeroing below stays as the exact
+    # no-drift guarantee for embeddings and optimizer statistics)
+    sgb = freeze_below if freeze_below is not None else 0
+
     def one_grad(params, micro, rng, cls_w, seg_w):
         (loss, metrics), grads = jax.value_and_grad(
             mtl_loss_fn, has_aux=True)(params, micro, cfg, policy,
-                                       cls_w, seg_w, seg_loss, rng=rng)
+                                       cls_w, seg_w, seg_loss, rng=rng,
+                                       stop_grad_below=sgb)
         return grads, metrics
 
     def step(state: MTLTrainState, batch, rng, cls_w, seg_w):
