@@ -105,3 +105,41 @@ def test_layer_norm_quant_interpret_matches_reference():
     ref = np.asarray(layer_norm_quant(x, g, b, s))     # XLA fallback (CPU)
     assert got.dtype == np.int8
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ln_qkv_int8_interpret_matches_reference():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudf.ops.int8_block import ln_qkv_int8
+    from tpudf.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 128)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.normal(1, 0.1, (128,)), jnp.float32),
+          "bias": jnp.asarray(rng.normal(0, 0.1, (128,)), jnp.float32)}
+    wq = quantize_weight(jnp.asarray(rng.normal(0, 0.05, (128, 384)),
+                                     jnp.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (384,)), jnp.float32)
+    got = np.asarray(ln_qkv_int8(x, ln, wq, b, 3.0, interpret=True))
+    ref = np.asarray(ln_qkv_int8(x, ln, wq, b, 3.0))   # XLA twin on CPU
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_attn_out_int8_interpret_matches_reference():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudf.ops.int8_block import attn_out_int8
+    from tpudf.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(8)
+    heads, hd = 2, 64
+    w = heads * hd
+    qkv = jnp.asarray(rng.normal(0, 1, (2, 64, 3 * w)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, w)), jnp.float32)
+    wq = quantize_weight(jnp.asarray(rng.normal(0, 0.05, (w, w)),
+                                     jnp.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (w,)), jnp.float32)
+    got = np.asarray(attn_out_int8(qkv, x, wq, b, 2.0, heads, hd,
+                                   interpret=True))
+    ref = np.asarray(attn_out_int8(qkv, x, wq, b, 2.0, heads, hd))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)

@@ -136,3 +136,47 @@ def test_progressive_sizes():
     cfg = LoopConfig(epochs=6, progressive_sizes=(320, 384, 448))
     sizes = [epoch_size_for(cfg, e, 256) for e in range(6)]
     assert sizes == [320, 320, 384, 384, 448, 448]
+
+
+def test_stop_grad_below_grads_match_and_prefix_zero():
+    """stop_grad_below must be gradient-transparent for trainable layers:
+    upper-block + head grads identical with/without the boundary, and the
+    frozen prefix's grads exactly zero (XLA can then DCE its backward)."""
+    from tpudf.train.mtl import mtl_loss_fn
+
+    cfg = CONFIGS["test-32"]
+    mcfg = MTLConfig(backbone=cfg, seg_layers=(0, 1), embed_dim=32)
+    params = init_mtl(jax.random.key(0), mcfg)
+    rng = np.random.default_rng(3)
+    b = 2
+    batch = {
+        "pixels": jnp.asarray(rng.random((b, 32, 32, 3), np.float32)),
+        "cls": jnp.asarray([0, 2], jnp.int32),
+        "mask": jnp.asarray(rng.random((b, 32, 32)) > 0.5, jnp.float32),
+        "has_mask": jnp.asarray([0.0, 1.0]),
+    }
+    k = 1   # freeze layer 0 of the 2-layer test tower
+
+    def loss(p, sgb):
+        out, _ = mtl_loss_fn(p, batch, mcfg, F32_POLICY, 1.0, 0.5,
+                             seg_loss="bce_dice", stop_grad_below=sgb)
+        return out
+
+    g_plain = jax.grad(lambda p: loss(p, 0))(params)
+    g_stop = jax.grad(lambda p: loss(p, k))(params)
+
+    # frozen prefix: zero grads under the boundary
+    blocks = g_stop["backbone"]["blocks"]
+    for leaf in jax.tree.leaves(blocks):
+        assert float(jnp.abs(leaf[:k]).max()) == 0.0
+
+    # trainable part: grads numerically identical to the no-boundary run
+    for name in ("cls_head", "decoder"):
+        for a, b_ in zip(jax.tree.leaves(g_plain[name]),
+                         jax.tree.leaves(g_stop[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(g_plain["backbone"]["blocks"]),
+                     jax.tree.leaves(g_stop["backbone"]["blocks"])):
+        np.testing.assert_allclose(np.asarray(a)[k:], np.asarray(b_)[k:],
+                                   rtol=1e-5, atol=1e-6)

@@ -284,29 +284,48 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
                          residual=x, interpret=interpret)
         return mlp_block_fused(x, bp["ln2"], bp["mlp"], cfg.ln_eps,
                                interpret=interpret)
-    from tpudf.ops.quant import (int8_matmul_pre, int8_matmul_static,
-                                 is_static_quantized)
+    from tpudf.ops.quant import is_static_quantized
     if is_static_quantized(bp):
-        # W8A8 with calibrated per-tensor activation scales: LN emits int8
-        # directly (Pallas fused, ops/layernorm.layer_norm_quant) and the
-        # int8 dot runs at ~2x the bf16 MXU rate (ops/quant.py notes)
+        # W8A8 with calibrated per-tensor activation scales: three fused
+        # Pallas kernels per layer (ops/int8_block.py) — every quantize
+        # lives in an MXU kernel's prologue/epilogue, int8 weights stay
+        # VMEM-resident, all four projections at the 2x int8 MXU rate
+        import os
+        from tpudf.ops.int8_block import attn_out_int8, ln_qkv_int8
         from tpudf.ops.layernorm import layer_norm_quant
+        from tpudf.ops.mlp import mlp_block_fused_int8
+        from tpudf.ops.quant import int8_matmul_pre, int8_matmul_static
         sc = bp["act_scales"]
-        hq = layer_norm_quant(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
-                              sc["qkv"], cfg.ln_eps, interpret=interpret)
-        qkv = int8_matmul_pre(hq, bp["attn"]["qkv_w"], sc["qkv"]) \
-            + bp["attn"]["qkv_b"]
-        o = attention_qkv(qkv.astype(x.dtype), cfg.heads, cfg.head_dim,
-                          interpret=interpret)
-        x = x + (int8_matmul_static(o, bp["attn"]["out_w"], sc["out"])
-                 + bp["attn"]["out_b"])
+        variant = os.environ.get("TPUDF_INT8_KERNELS", "PPP")
+        if variant[0] == "P":
+            qkv = ln_qkv_int8(x, bp["ln1"], bp["attn"]["qkv_w"],
+                              bp["attn"]["qkv_b"], sc["qkv"], cfg.ln_eps,
+                              interpret=interpret)
+        else:
+            hq = layer_norm_quant(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                                  sc["qkv"], cfg.ln_eps, interpret=interpret)
+            qkv = (int8_matmul_pre(hq, bp["attn"]["qkv_w"], sc["qkv"])
+                   + bp["attn"]["qkv_b"]).astype(x.dtype)
+        if variant[1] == "P":
+            x = attn_out_int8(qkv, x, bp["attn"]["out_w"],
+                              bp["attn"]["out_b"], sc["out"], cfg.heads,
+                              cfg.head_dim, interpret=interpret)
+        else:
+            o = attention_qkv(qkv, cfg.heads, cfg.head_dim,
+                              interpret=interpret)
+            x = x + (int8_matmul_static(o, bp["attn"]["out_w"], sc["out"])
+                     + bp["attn"]["out_b"])
+        if variant[2] == "P":
+            return mlp_block_fused_int8(
+                x, bp["ln2"], bp["mlp"],
+                {"fc1": sc["fc1"], "fc2": sc["fc2"]},
+                cfg.ln_eps, interpret=interpret)
         hq = layer_norm_quant(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
                               sc["fc1"], cfg.ln_eps, interpret=interpret)
         h = gelu_tanh(int8_matmul_pre(hq, bp["mlp"]["fc1_w"], sc["fc1"])
                       + bp["mlp"]["fc1_b"])
-        x = x + (int8_matmul_static(h, bp["mlp"]["fc2_w"], sc["fc2"])
-                 + bp["mlp"]["fc2_b"])
-        return x
+        return x + (int8_matmul_static(h, bp["mlp"]["fc2_w"], sc["fc2"])
+                    + bp["mlp"]["fc2_b"])
     mm_ = lambda a, w: int8_matmul(a, w, a.dtype)
     h = layer_norm(x, bp["ln1"], cfg.ln_eps)
     qkv = mm_(h, bp["attn"]["qkv_w"]) + bp["attn"]["qkv_b"]

@@ -1,0 +1,208 @@
+"""Fused W8A8 transformer-block kernels for the static-quantized tower.
+
+With calibrated per-tensor activation scales (ops/quant.py), a SigLIP block
+collapses to THREE Pallas kernels per layer:
+
+  K1 ln_qkv_int8:      x --LN--quant--int8 QKV matmul--> qkv   (bf16)
+  K2 attn_out_int8:    qkv --attention--quant--int8 out-proj--+x--> x'
+  K3 mlp_block_fused_int8 (ops/mlp.py): x' --LN--quant--fc1--gelu--quant
+                                        --fc2--+x'--> x''
+
+Every activation-quantization step runs in the epilogue/prologue of an MXU
+kernel (no standalone quantize pass ever touches HBM), the int8 weights
+(4x smaller than f32) stay VMEM-resident across row tiles, and the four
+projections all run at the v5e's 2x int8 MXU rate. This is the TPU-native
+replacement for the reference's CUDA Flash-SDPA + cuBLAS path
+(cifake_binary_classifier.py:24-27) at inference time.
+
+All kernels have exact XLA twins used off-TPU and for non-lane-aligned
+geometries (so400m head_dim=72 falls back for K2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _quant_rows(y, a):
+    return jnp.clip(jnp.round(y * (127.0 / a)), -127, 127).astype(jnp.int8)
+
+
+# ------------------------------------------------------------------ K1
+def _ln_qkv_kernel(x_ref, g_ref, b_ref, w_ref, s_ref, bias_ref, a_ref,
+                   o_ref, *, eps):
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[...] + b_ref[...]
+    a = a_ref[0]
+    q = _quant_rows(y, a)
+    acc = jax.lax.dot_general(q, w_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    o = acc.astype(jnp.float32) * ((a / 127.0) * s_ref[...]) + bias_ref[...]
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _ln_qkv_reference(x2d, g, b, wq, ws, bias, a, eps):
+    x32 = x2d.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps) * g + b
+    a = jnp.asarray(a, jnp.float32)
+    q = _quant_rows(y, a)
+    acc = jax.lax.dot_general(q, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * ((a / 127.0) * ws) + bias
+            ).astype(x2d.dtype)
+
+
+def ln_qkv_int8(x, ln_params, wq_dict, bias, act_scale, eps=1e-6, *,
+                block_rows=256, interpret=False):
+    """(B, S, W) bf16 → (B, S, 3W) bf16: fused LN + quant + int8 QKV proj."""
+    lead, w = x.shape[:-1], x.shape[-1]
+    wq, ws = wq_dict["q"], wq_dict["scale"]
+    n3 = wq.shape[1]
+    args = (ln_params["scale"].astype(jnp.float32),
+            ln_params["bias"].astype(jnp.float32),
+            wq, ws.astype(jnp.float32), bias.astype(jnp.float32))
+    a = jnp.asarray(act_scale, jnp.float32).reshape(1)
+    aligned = w % 128 == 0 and n3 % 128 == 0
+    fits = w * n3 <= 10 * 1024 * 1024
+    x2d = x.reshape(-1, w)
+    if not ((_on_tpu() or interpret) and aligned and fits):
+        out = _ln_qkv_reference(x2d, *args, a, float(eps))
+        return out.reshape(*lead, n3)
+    n = x2d.shape[0]
+    rows = min(block_rows, n)
+    pad = (-n) % rows
+    if pad:
+        x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, eps=float(eps)),
+        grid=((n + pad) // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((w, n3), lambda i: (0, 0)),
+            pl.BlockSpec((n3,), lambda i: (0,)),
+            pl.BlockSpec((n3,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((rows, n3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((x2d.shape[0], n3), x.dtype),
+        interpret=interpret,
+    )(x2d, *args, a)
+    out = out[:n] if pad else out
+    return out.reshape(*lead, n3)
+
+
+# ------------------------------------------------------------------ K2
+def _attn_out_kernel(q_ref, k_ref, v_ref, x_ref, w_ref, s_ref, bias_ref,
+                     a_ref, o_ref, *, heads, head_dim, scale):
+    """One (batch, q-block) program: per-head full-softmax attention over
+    fused-QKV column slices, then quant + int8 output projection + residual,
+    all in VMEM."""
+    w = heads * head_dim
+    # python loop over heads (static, small): per-head full-softmax tiles,
+    # concatenated in VMEM for the fused output projection
+    outs = []
+    for h in range(heads):
+        lo = h * head_dim
+        qh = q_ref[0, :, lo:lo + head_dim]
+        kh = k_ref[0, :, lo:lo + head_dim]
+        vh = v_ref[0, :, lo:lo + head_dim]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(vh.dtype), vh,
+                            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1)               # (qb, W) f32
+
+    a = a_ref[0]
+    q8 = _quant_rows(o, a)
+    acc = jax.lax.dot_general(q8, w_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    proj = acc.astype(jnp.float32) * ((a / 127.0) * s_ref[...]) + bias_ref[...]
+    o_ref[0] = (x_ref[0].astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+def _attn_out_reference(qkv, x, wq, ws, bias, a, heads, head_dim, scale):
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    q = qkv[..., :w].reshape(b, s, heads, head_dim)
+    k = qkv[..., w:2 * w].reshape(b, s, heads, head_dim)
+    v = qkv[..., 2 * w:].reshape(b, s, heads, head_dim)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).reshape(b, s, w)
+    a = jnp.asarray(a, jnp.float32)
+    q8 = _quant_rows(o.astype(jnp.float32), a)
+    acc = jax.lax.dot_general(q8, wq, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    proj = acc.astype(jnp.float32) * ((a / 127.0) * ws) + bias
+    return (x.astype(jnp.float32) + proj).astype(x.dtype)
+
+
+def attn_out_int8(qkv, x, wq_dict, bias, act_scale, heads, head_dim,
+                  scale=None, *, q_block=256, interpret=False):
+    """(B, S, 3W) + residual (B, S, W) → (B, S, W).
+
+    Fused-QKV attention with the int8 output projection and residual add in
+    the kernel epilogue — the per-head attention output never round-trips
+    through HBM. Requires lane-aligned head_dim (64/128; so400m's 72 → XLA
+    twin) and S small enough for full-softmax VMEM residency."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    scale = scale if scale is not None else head_dim ** -0.5
+    wq, ws = wq_dict["q"], wq_dict["scale"]
+    args_ref = (wq, ws.astype(jnp.float32), bias.astype(jnp.float32))
+    a = jnp.asarray(act_scale, jnp.float32).reshape(1)
+    lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
+    aligned = w % 128 == 0
+    # K/V + scores VMEM bound: 2*S*W bf16 + qb*S f32 per head (sequential)
+    fits = 2 * s * w * 2 + q_block * s * 4 <= 12 * 1024 * 1024
+    if not ((_on_tpu() or interpret) and lane_ok and aligned and fits
+            and s % 8 == 0):
+        return _attn_out_reference(qkv, x, *args_ref, a, heads, head_dim,
+                                   scale)
+    qb = min(q_block, s)
+    sp = ((s + qb - 1) // qb) * qb
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0))) if sp != s else qkv
+    x_p = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
+
+    kernel = functools.partial(_attn_out_kernel, heads=heads,
+                               head_dim=head_dim, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, sp // qb),
+        in_specs=[
+            pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),       # q rows
+            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 1)),        # full K
+            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 2)),        # full V
+            pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),       # residual
+            pl.BlockSpec((w, w), lambda i, j: (0, 0)),
+            pl.BlockSpec((w,), lambda i, j: (0,)),
+            pl.BlockSpec((w,), lambda i, j: (0,)),
+            pl.BlockSpec((1,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sp, w), x.dtype),
+        interpret=interpret,
+    )(qkv_p, qkv_p, qkv_p, x_p, *args_ref, a)
+    return out[:, :s] if sp != s else out

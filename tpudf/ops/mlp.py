@@ -89,6 +89,114 @@ def _fused(eps: float, interpret: bool):
     return f
 
 
+def _kernel_int8(x_ref, g_ref, b_ref, w1_ref, s1w_ref, b1_ref, w2_ref,
+                 s2w_ref, b2_ref, a1_ref, a2_ref, o_ref, *, eps):
+    """W8A8 MLP sublayer, single pass: LN → quant → int8 fc1 (MXU) → gelu →
+    quant → int8 fc2 → residual. The (rows, 4W) hidden never leaves VMEM and
+    the two int8 weight mats (4x smaller than bf16) stay resident — HBM
+    traffic is read x + write out, with both matmuls at the 2x int8 rate."""
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[...] + b_ref[...]
+    a1 = a1_ref[0]
+    q1 = jnp.clip(jnp.round(y * (127.0 / a1)), -127, 127).astype(jnp.int8)
+    acc1 = jax.lax.dot_general(q1, w1_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * ((a1 / 127.0) * s1w_ref[...]) + b1_ref[...]
+    h = jax.nn.gelu(h, approximate=True)
+    a2 = a2_ref[0]
+    q2 = jnp.clip(jnp.round(h * (127.0 / a2)), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(q2, w2_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    o = acc2.astype(jnp.float32) * ((a2 / 127.0) * s2w_ref[...]) + b2_ref[...]
+    o_ref[...] = (x32 + o).astype(o_ref.dtype)
+
+
+def _mlp_block_pallas_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s,
+                           b2, a1, a2, eps, *, block_rows=256,
+                           interpret=False):
+    n, w = x2d.shape
+    inter = w1q.shape[1]
+    rows = min(block_rows, n)
+    pad = (-n) % rows
+    if pad:
+        x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, eps=eps),
+        grid=((n + pad) // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((w, inter), lambda i: (0, 0)),
+            pl.BlockSpec((inter,), lambda i: (0,)),
+            pl.BlockSpec((inter,), lambda i: (0,)),
+            pl.BlockSpec((inter, w), lambda i: (0, 0)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((w,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((rows, w), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        interpret=interpret,
+    )(x2d, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+      w1q, w1s.astype(jnp.float32), b1.astype(jnp.float32),
+      w2q, w2s.astype(jnp.float32), b2.astype(jnp.float32),
+      jnp.asarray(a1, jnp.float32).reshape(1),
+      jnp.asarray(a2, jnp.float32).reshape(1))
+    return out[:n] if pad else out
+
+
+def _reference_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
+                    a1, a2, eps):
+    """XLA twin of the int8 kernel (exact same quantization math)."""
+    x32 = x2d.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    a1 = jnp.asarray(a1, jnp.float32)
+    q1 = jnp.clip(jnp.round(y * (127.0 / a1)), -127, 127).astype(jnp.int8)
+    acc1 = jax.lax.dot_general(q1, w1q, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * ((a1 / 127.0) * w1s) + b1
+    h = jax.nn.gelu(h, approximate=True)
+    a2 = jnp.asarray(a2, jnp.float32)
+    q2 = jnp.clip(jnp.round(h * (127.0 / a2)), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(q2, w2q, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    o = acc2.astype(jnp.float32) * ((a2 / 127.0) * w2s) + b2
+    return (x32 + o).astype(x2d.dtype)
+
+
+def mlp_block_fused_int8(x, ln_params, mlp_q, act_scales, eps=1e-6, *,
+                         interpret=False):
+    """W8A8 MLP sublayer: (B, S, W) → (B, S, W).
+
+    mlp_q: quantize_siglip per-layer slice ({fc1_w: {q, scale}, ...});
+    act_scales: {"fc1": scalar, "fc2": scalar} static activation scales from
+    ops/quant.calibrate_siglip_act_scales. Inference-only (no vjp)."""
+    w = x.shape[-1]
+    inter = mlp_q["fc1_w"]["q"].shape[-1]
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    args = (ln_params["scale"], ln_params["bias"],
+            mlp_q["fc1_w"]["q"], mlp_q["fc1_w"]["scale"], mlp_q["fc1_b"],
+            mlp_q["fc2_w"]["q"], mlp_q["fc2_w"]["scale"], mlp_q["fc2_b"],
+            act_scales["fc1"], act_scales["fc2"])
+    aligned = w % 128 == 0 and inter % 128 == 0
+    fits = w * inter * 2 <= 10 * 1024 * 1024          # both mats, int8
+    if (on_tpu or interpret) and aligned and fits:
+        return _mlp_block_pallas_int8(
+            x.reshape(-1, w), *args, float(eps),
+            interpret=interpret).reshape(x.shape)
+    return _reference_int8(x.reshape(-1, w), *args, float(eps)
+                           ).reshape(x.shape)
+
+
 def mlp_block_fused(x, ln_params, mlp_params, eps=1e-6, *, interpret=False):
     """(B, S, W) → (B, S, W): residual + MLP sublayer with fused LN.
 
