@@ -110,3 +110,22 @@ def test_haar_is_orthonormal(gray):
     energy_out = float(sum(np.sum(np.asarray(c) ** 2)
                            for c in (ca, ch, cv, cd)))
     np.testing.assert_allclose(energy_in, energy_out, rtol=1e-5)
+
+
+def test_matmul_dft_matches_fft_path():
+    """The MXU DFT-by-matmul path (used on TPU) must match the jnp.fft path
+    at feature level; also check raw re/im vs numpy fft in f32."""
+    import jax.numpy as jnp
+    from tpudf.ops.fft_features import (fft2_shifted_matmul, fft_features)
+
+    rng = np.random.default_rng(11)
+    gray = jnp.asarray(rng.random((3, 64, 64)), jnp.float32)
+
+    re, im = fft2_shifted_matmul(gray, dtype=jnp.float32)
+    ref = np.fft.fftshift(np.fft.fft2(np.asarray(gray)), axes=(-2, -1))
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-2)
+
+    fa = np.asarray(fft_features(gray, use_matmul_dft=True))
+    fb = np.asarray(fft_features(gray, use_matmul_dft=False))
+    np.testing.assert_allclose(fa, fb, atol=5e-3, rtol=5e-3)

@@ -67,3 +67,29 @@ def test_static_quantized_backbone_cosine():
     cos = np.sum(ref * out, 1) / (
         np.linalg.norm(ref, axis=1) * np.linalg.norm(out, axis=1))
     assert cos.min() > 0.99
+
+
+def test_engine_quantize_tracks_float():
+    """DetectEngine.quantize() (serving W8A8 deploy config) keeps p_blend
+    close to the float engine on the fast path."""
+    from tpudf.calib.coral import CoralCutpoints
+    from tpudf.models.freq_mlp import init_freq_mlp
+    from tpudf.models.fusion import init_fusion_linear
+    from tpudf.models.heads import init_binary_head
+    from tpudf.serve.engine import DetectEngine
+
+    cfg = CONFIGS["test-32"]
+    k = jax.random.split(jax.random.key(3), 4)
+    mk = lambda: DetectEngine(cfg, init_siglip(k[0], cfg),
+                              init_binary_head(k[1], cfg.width),
+                              init_freq_mlp(k[2]), init_fusion_linear(k[3]),
+                              CoralCutpoints.default(), policy=F32_POLICY)
+    rng = np.random.default_rng(0)
+    img = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+    ref = mk().predict_batch_fast(img)["p_blend"]
+    eng = mk().quantize()
+    assert "act_scales" in eng.backbone["blocks"]
+    got = eng.predict_batch_fast(img)["p_blend"]
+    np.testing.assert_allclose(got, ref, atol=0.05)
+    # idempotent
+    eng.quantize()

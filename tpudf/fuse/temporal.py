@@ -154,8 +154,8 @@ def spectral_drift(gray):
     gray: (T, H, W) — resized to 128 internally like the reference."""
     t = gray.shape[0]
     g = jax.image.resize(gray, (t, 128, 128), "bilinear") * 255.0
-    mag = jnp.log1p(jnp.abs(jnp.fft.fftshift(
-        jnp.fft.fft2(g.astype(jnp.complex64)), axes=(-2, -1))))
+    from tpudf.ops.fft_features import fft2_mag
+    mag = jnp.log1p(fft2_mag(g, shifted=True))
     m_np, counts = _radial_hist_matrix(128, 128)
     m = jnp.asarray(m_np)
     prof = (mag.reshape(t, -1) @ m) / jnp.asarray(counts)

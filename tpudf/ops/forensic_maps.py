@@ -41,7 +41,8 @@ def prnu_fft_consistency_map(gray, block=64):
     t = _blocks(noise, block)                     # (B, H, blk, W, blk)
     b, gh, _, gw, _ = t.shape
     tiles = t.transpose(0, 1, 3, 2, 4).reshape(b * gh * gw, block, block)
-    mag = jnp.abs(jnp.fft.fft2(tiles.astype(jnp.complex64)))
+    from tpudf.ops.fft_features import fft2_mag
+    mag = fft2_mag(tiles)
     radial = jnp.mean(mag, axis=1)                # (N, blk)
     smooth = _smooth1d(radial, 3.0)
     rough = jnp.mean(jnp.abs(radial - smooth), axis=1)
@@ -91,7 +92,8 @@ def multiscale_fft_map(gray, block=32):
     t = _blocks(gray * 255.0, block)
     b, gh, _, gw, _ = t.shape
     tiles = t.transpose(0, 1, 3, 2, 4).reshape(b * gh * gw, block, block)
-    mag = jnp.abs(jnp.fft.fft2(tiles.astype(jnp.complex64)))
+    from tpudf.ops.fft_features import fft2_mag
+    mag = fft2_mag(tiles)
     m = jnp.mean(mag, axis=(1, 2)).reshape(b, gh, gw)
     return jnp.abs(m - jnp.mean(m, axis=(1, 2), keepdims=True))
 

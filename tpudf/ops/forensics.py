@@ -139,7 +139,8 @@ def prnu_consistency_score(gray):
 def prnu_fft_consistency(noise):
     """Column-mean radial profile roughness of |FFT(noise)|
     (appv3.py:2405-2417)."""
-    mag = jnp.abs(jnp.fft.fft2(noise.astype(jnp.complex64)))
+    from tpudf.ops.fft_features import fft2_mag
+    mag = fft2_mag(noise)
     radial = jnp.mean(mag, axis=1)                    # (B, W)
     # gaussian smooth along the profile
     k_np, radius = _gauss_kernel_np(3.0)
@@ -302,8 +303,8 @@ def multiscale_fft_confidence(gray):
     b = gray.shape[0]
     for sz in (256, 128, 64):
         g = jax.image.resize(gray, (b, sz, sz), method="bilinear") * 255.0
-        mag = jnp.abs(jnp.fft.fftshift(
-            jnp.fft.fft2(g.astype(jnp.complex64)), axes=(-2, -1)))
+        from tpudf.ops.fft_features import fft2_mag
+        mag = fft2_mag(g, shifted=True)
         scores.append(jnp.std(mag, axis=(1, 2)))
     s = jnp.stack(scores, axis=1)
     diff = jnp.max(s, axis=1) - jnp.min(s, axis=1)
@@ -371,8 +372,8 @@ def diffusion_perlin_residual(gray):
     g = (g - jnp.mean(g, axis=(1, 2), keepdims=True)) / (
         jnp.std(g, axis=(1, 2), keepdims=True) + 1e-6)
     res = laplacian(g)
-    psd = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(res.astype(jnp.complex64)),
-                                   axes=(-2, -1))) ** 2
+    from tpudf.ops.fft_features import fft2_mag
+    psd = fft2_mag(res, shifted=True) ** 2
     m_np, counts_np = _radial_band_matrix(h, w, 0.2, 0.8)
     m = jnp.asarray(m_np)
     counts = jnp.asarray(np.maximum(counts_np, 1.0))
@@ -391,8 +392,8 @@ def perlin_residual_score(gray):
     """Radial-PSD flatness of the Laplacian residual (appv3.py:2780-2809)."""
     b, h, w = gray.shape
     hp = laplacian(gray)
-    psd = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(hp.astype(jnp.complex64)),
-                                   axes=(-2, -1))) ** 2
+    from tpudf.ops.fft_features import fft2_mag
+    psd = fft2_mag(hp, shifted=True) ** 2
     m_np, counts_np = _radial_band_matrix(h, w, 0.2, 0.8)
     m = jnp.asarray(m_np)
     counts = jnp.asarray(np.maximum(counts_np, 1.0))
@@ -404,8 +405,8 @@ def perlin_residual_score(gray):
 def spectral_flatness_score(gray):
     """Mid-band geometric/arithmetic PSD flatness (appv3.py:3068-3096)."""
     b, h, w = gray.shape
-    psd = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(gray.astype(jnp.complex64)),
-                                   axes=(-2, -1))) ** 2 + 1e-8
+    from tpudf.ops.fft_features import fft2_mag
+    psd = fft2_mag(gray, shifted=True) ** 2 + 1e-8
     cy, cx = h // 2, w // 2
     yy, xx = np.mgrid[0:h, 0:w]
     r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
@@ -422,8 +423,8 @@ def spectral_flatness_score(gray):
 def esrgan_grid_score(gray):
     """Every-8th-row/col log-spectrum energy (upscaler grid artifact,
     appv3.py:2481-2486)."""
-    mag = jnp.log1p(jnp.abs(jnp.fft.fftshift(
-        jnp.fft.fft2((gray * 255.0).astype(jnp.complex64)), axes=(-2, -1))))
+    from tpudf.ops.fft_features import fft2_mag
+    mag = jnp.log1p(fft2_mag(gray * 255.0, shifted=True))
     v = jnp.mean(mag[:, :, ::8], axis=(1, 2))
     h = jnp.mean(mag[:, ::8, :], axis=(1, 2))
     return jnp.clip((v + h) / 50.0, 0.0, 1.0)

@@ -32,30 +32,51 @@ def _norm(k):
     return k / (np.abs(k).sum() + _EPS)
 
 
+def _stencil3(gray, k3):
+    """'same' zero-padded 3x3 correlation as 9 shifted multiply-adds — XLA
+    fuses these into one elementwise pass, where a 1-in/1-out-channel conv
+    lowers to scalar-ish code that costs ~3.7 ms per 256-image batch on the
+    v5e (measured; the stencil form is ~10x cheaper)."""
+    b, h, w = gray.shape
+    p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)))
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            c = float(k3[di, dj])
+            if c == 0.0:
+                continue
+            t = p[:, di:di + h, dj:dj + w] * c
+            acc = t if acc is None else acc + t
+    return acc
+
+
 def srm_residuals(gray):
-    """gray: (B, H, W) → list of 3 residual maps (B, H, W) (zero-padded conv,
-    'same' size)."""
-    x = gray[:, None]                       # (B, 1, H, W)
-    outs = []
-    for k in SRM_KERNELS:
-        kn = jnp.asarray(_norm(k))[None, None]
-        pad = k.shape[-1] // 2
-        y = jax.lax.conv_general_dilated(
-            x, kn, window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        outs.append(y[:, 0])
-    return outs
+    """gray: (B, H, W) → list of 3 residual maps (B, H, W) ('same' size,
+    zero padding — conv semantics of the reference).
+
+    All three reference kernels have 3x3 support (K1's 5x5 is a zero ring
+    around K2's pattern) and identical |sum| normalization, so K1 and K2
+    produce the SAME residual — computed once, listed twice."""
+    r2 = _stencil3(gray, _norm(_K2))
+    r3 = _stencil3(gray, _norm(_K3))
+    return [r2, r2, r3]
 
 
 def srm_features(gray):
     """(B, H, W) → (B, 9): per-kernel residual mean, var, kurtosis
-    (appv3.py:1712-1719; kurtosis = E[(x-m)^4] / (var+eps)^2, biased)."""
-    feats = []
-    for y in srm_residuals(gray):
+    (appv3.py:1712-1719; kurtosis = E[(x-m)^4] / (var+eps)^2, biased).
+    K1 == K2 after normalization, so their stats are computed once."""
+    feats = {}
+    for i, y in enumerate(srm_residuals(gray)):
+        if i == 1:                     # K2 residual object is K1's — reuse
+            feats[1] = feats[0]
+            continue
         flat = y.reshape(y.shape[0], -1)
         m = jnp.mean(flat, axis=1)
         v = jnp.var(flat, axis=1)
         k = jnp.mean((flat - m[:, None]) ** 4, axis=1) / ((v + _EPS) ** 2)
-        feats += [m, v, k]
-    return jnp.stack(feats, axis=-1)
+        feats[i] = (m, v, k)
+    out = []
+    for i in range(3):
+        out += list(feats[i])
+    return jnp.stack(out, axis=-1)

@@ -79,6 +79,27 @@ class DetectEngine:
             _detect_batch_fast, cfg=self.cfg, policy=self.policy,
             cuts=self.cuts))
 
+    def quantize(self, calib_uint8: np.ndarray | None = None):
+        """Switch the backbone to the deployed W8A8 static-quant config
+        (ops/quant.py): calibrate per-tensor activation scales on a batch of
+        representative images (or synthetic noise if none given) and replace
+        the float projection weights with int8. ~1.45x tower throughput on
+        the v5e at pooled-feature cosine > 0.99 (tests/test_quant.py)."""
+        from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                     quantize_siglip_static)
+        if "act_scales" in self.backbone.get("blocks", {}):
+            return self
+        if calib_uint8 is None:
+            s = self.cfg.image_size
+            calib = np.random.default_rng(0).random((16, s, s, 3))
+        else:
+            calib = np.asarray(calib_uint8, np.float32) / 255.0
+        norm = normalize_siglip(jnp.asarray(calib, jnp.float32))
+        scales = calibrate_siglip_act_scales(self.backbone, self.cfg, norm,
+                                             self.policy)
+        self.backbone = quantize_siglip_static(self.backbone, scales)
+        return self
+
     def predict_batch(self, pixels_uint8: np.ndarray) -> dict:
         """Full-analysis path: multicrop + rot + flip TTA + patch grid.
         pixels_uint8: (B, S, S, 3) uint8 → dict of per-image signals
