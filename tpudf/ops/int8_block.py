@@ -68,7 +68,7 @@ def _ln_qkv_reference(x2d, g, b, wq, ws, bias, a, eps):
 
 
 def ln_qkv_int8(x, ln_params, wq_dict, bias, act_scale, eps=1e-6, *,
-                block_rows=256, interpret=False):
+                block_rows=512, interpret=False):
     """(B, S, W) bf16 → (B, S, 3W) bf16: fused LN + quant + int8 QKV proj."""
     lead, w = x.shape[:-1], x.shape[-1]
     wq, ws = wq_dict["q"], wq_dict["scale"]

@@ -114,7 +114,7 @@ def _kernel_int8(x_ref, g_ref, b_ref, w1_ref, s1w_ref, b1_ref, w2_ref,
 
 
 def _mlp_block_pallas_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s,
-                           b2, a1, a2, eps, *, block_rows=256,
+                           b2, a1, a2, eps, *, block_rows=512,
                            interpret=False):
     n, w = x2d.shape
     inter = w1q.shape[1]
