@@ -143,3 +143,69 @@ def test_attn_out_int8_interpret_matches_reference():
                                    interpret=True))
     ref = np.asarray(attn_out_int8(qkv, x, wq, b, 2.0, heads, hd))
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_attn_sublayer_int8_interpret_matches_reference():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudf.ops.int8_block import attn_sublayer_int8
+    from tpudf.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(9)
+    heads, hd = 2, 64
+    w = heads * hd
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, w)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.normal(1, 0.1, (w,)), jnp.float32),
+          "bias": jnp.asarray(rng.normal(0, 0.1, (w,)), jnp.float32)}
+    qkv_wq = quantize_weight(jnp.asarray(rng.normal(0, 0.05, (w, 3 * w)),
+                                         jnp.float32))
+    qkv_b = jnp.asarray(rng.normal(0, 0.1, (3 * w,)), jnp.float32)
+    out_wq = quantize_weight(jnp.asarray(rng.normal(0, 0.05, (w, w)),
+                                         jnp.float32))
+    out_b = jnp.asarray(rng.normal(0, 0.1, (w,)), jnp.float32)
+    got = np.asarray(attn_sublayer_int8(x, ln, qkv_wq, qkv_b, out_wq, out_b,
+                                        3.0, 2.0, heads, hd,
+                                        interpret=True))
+    # off-TPU fallback = the separate K1+K2 path (bf16 qkv between them in
+    # the fused kernel; atol covers the bf16 round of the qkv activation)
+    ref = np.asarray(attn_sublayer_int8(x, ln, qkv_wq, qkv_b, out_wq, out_b,
+                                        3.0, 2.0, heads, hd))
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+
+
+def test_siglip_layer_int8_interpret_matches_split():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudf.ops.int8_block import siglip_layer_int8
+    from tpudf.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(10)
+    heads, hd = 2, 64
+    w, inter = heads * hd, 256
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, w)), jnp.float32)
+    qw = lambda a, c, s: quantize_weight(
+        jnp.asarray(rng.normal(0, s, (a, c)), jnp.float32))
+    vecf = lambda n: jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32)
+    bp = {
+        "ln1": {"scale": vecf(w) + 1.0, "bias": vecf(w)},
+        "ln2": {"scale": vecf(w) + 1.0, "bias": vecf(w)},
+        "attn": {"qkv_w": qw(w, 3 * w, 0.05), "qkv_b": vecf(3 * w),
+                 "out_w": qw(w, w, 0.05), "out_b": vecf(w)},
+        "mlp": {"fc1_w": qw(w, inter, 0.05), "fc1_b": vecf(inter),
+                "fc2_w": qw(inter, w, 0.05), "fc2_b": vecf(w)},
+        "act_scales": {"qkv": 3.0, "out": 2.0, "fc1": 3.0, "fc2": 2.0},
+    }
+    got = siglip_layer_int8(x, bp, heads, hd, interpret=True)
+    assert got is not None
+
+    # split-kernel path (interpret) as reference
+    from tpudf.ops.int8_block import attn_sublayer_int8
+    from tpudf.ops.mlp import mlp_block_fused_int8
+    mid = attn_sublayer_int8(x, bp["ln1"], bp["attn"]["qkv_w"],
+                             bp["attn"]["qkv_b"], bp["attn"]["out_w"],
+                             bp["attn"]["out_b"], 3.0, 2.0, heads, hd,
+                             interpret=True)
+    ref = mlp_block_fused_int8(mid, bp["ln2"], bp["mlp"],
+                               {"fc1": 3.0, "fc2": 2.0}, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)

@@ -291,30 +291,51 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
         # lives in an MXU kernel's prologue/epilogue, int8 weights stay
         # VMEM-resident, all four projections at the 2x int8 MXU rate
         import os
-        from tpudf.ops.int8_block import attn_out_int8, ln_qkv_int8
+        from tpudf.ops.int8_block import (attn_out_int8, attn_sublayer_int8,
+                                          ln_qkv_int8)
         from tpudf.ops.layernorm import layer_norm_quant
         from tpudf.ops.mlp import mlp_block_fused_int8
         from tpudf.ops.quant import int8_matmul_pre, int8_matmul_static
         sc = bp["act_scales"]
-        variant = os.environ.get("TPUDF_INT8_KERNELS", "PPP")
-        if variant[0] == "P":
-            qkv = ln_qkv_int8(x, bp["ln1"], bp["attn"]["qkv_w"],
-                              bp["attn"]["qkv_b"], sc["qkv"], cfg.ln_eps,
-                              interpret=interpret)
+        # measured on v5e, base-256 B=256: FPP 5027 img/s (fused attention
+        # sublayer + MLP kernel), LLL 5009 (whole-layer megakernel),
+        # PPP 4439, XXX 3998. FPP default; LLL kept for other geometries.
+        variant = os.environ.get("TPUDF_INT8_KERNELS", "FPP")
+        if variant == "LLL":
+            # whole-layer megakernel: one HBM read + one write per layer
+            from tpudf.ops.int8_block import siglip_layer_int8
+            out = siglip_layer_int8(x, bp, cfg.heads, cfg.head_dim,
+                                    cfg.ln_eps, interpret=interpret)
+            if out is not None:
+                return out
+            variant = "FPP"
+        if variant[0] == "F":
+            # single-kernel attention sublayer: QKV never touches HBM
+            x = attn_sublayer_int8(
+                x, bp["ln1"], bp["attn"]["qkv_w"], bp["attn"]["qkv_b"],
+                bp["attn"]["out_w"], bp["attn"]["out_b"], sc["qkv"],
+                sc["out"], cfg.heads, cfg.head_dim, cfg.ln_eps,
+                interpret=interpret)
         else:
-            hq = layer_norm_quant(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
-                                  sc["qkv"], cfg.ln_eps, interpret=interpret)
-            qkv = (int8_matmul_pre(hq, bp["attn"]["qkv_w"], sc["qkv"])
-                   + bp["attn"]["qkv_b"]).astype(x.dtype)
-        if variant[1] == "P":
-            x = attn_out_int8(qkv, x, bp["attn"]["out_w"],
-                              bp["attn"]["out_b"], sc["out"], cfg.heads,
-                              cfg.head_dim, interpret=interpret)
-        else:
-            o = attention_qkv(qkv, cfg.heads, cfg.head_dim,
-                              interpret=interpret)
-            x = x + (int8_matmul_static(o, bp["attn"]["out_w"], sc["out"])
-                     + bp["attn"]["out_b"])
+            if variant[0] == "P":
+                qkv = ln_qkv_int8(x, bp["ln1"], bp["attn"]["qkv_w"],
+                                  bp["attn"]["qkv_b"], sc["qkv"], cfg.ln_eps,
+                                  interpret=interpret)
+            else:
+                hq = layer_norm_quant(x, bp["ln1"]["scale"],
+                                      bp["ln1"]["bias"], sc["qkv"],
+                                      cfg.ln_eps, interpret=interpret)
+                qkv = (int8_matmul_pre(hq, bp["attn"]["qkv_w"], sc["qkv"])
+                       + bp["attn"]["qkv_b"]).astype(x.dtype)
+            if variant[1] == "P":
+                x = attn_out_int8(qkv, x, bp["attn"]["out_w"],
+                                  bp["attn"]["out_b"], sc["out"], cfg.heads,
+                                  cfg.head_dim, interpret=interpret)
+            else:
+                o = attention_qkv(qkv, cfg.heads, cfg.head_dim,
+                                  interpret=interpret)
+                x = x + (int8_matmul_static(o, bp["attn"]["out_w"],
+                                            sc["out"]) + bp["attn"]["out_b"])
         if variant[2] == "P":
             return mlp_block_fused_int8(
                 x, bp["ln2"], bp["mlp"],

@@ -108,6 +108,211 @@ def ln_qkv_int8(x, ln_params, wq_dict, bias, act_scale, eps=1e-6, *,
     return out.reshape(*lead, n3)
 
 
+# ---------------------------------------------------- K12 (fused sublayer)
+def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                          wout_ref, sout_ref, bout_ref, a_ref, o_ref, *,
+                          heads, head_dim, scale, eps):
+    """One image per program: LN → quant → int8 QKV → attention → quant →
+    int8 out-proj → residual, entirely in VMEM. The (S, 3W) QKV activation
+    never exists in HBM — at batch 256 that deletes ~0.6 GB of traffic per
+    layer versus the separate-kernel form."""
+    x32 = x_ref[0].astype(jnp.float32)                     # (S, W)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[...] + b_ref[...]
+    aq = a_ref[0]
+    q8 = _quant_rows(y, aq)
+    acc = jax.lax.dot_general(q8, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = acc.astype(jnp.float32) * ((aq / 127.0) * sqkv_ref[...]) \
+        + bqkv_ref[...]
+    qkv = qkv.astype(jnp.bfloat16)                         # (S, 3W)
+    w = heads * head_dim
+    outs = []
+    for h in range(heads):
+        lo = h * head_dim
+        qh = qkv[:, lo:lo + head_dim]
+        kh = qkv[:, w + lo:w + lo + head_dim]
+        vh = qkv[:, 2 * w + lo:2 * w + lo + head_dim]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(vh.dtype), vh,
+                            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1)                     # (S, W) f32
+    ao = a_ref[1]
+    o8 = _quant_rows(o, ao)
+    acc2 = jax.lax.dot_general(o8, wout_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    proj = acc2.astype(jnp.float32) * ((ao / 127.0) * sout_ref[...]) \
+        + bout_ref[...]
+    o_ref[0] = (x32 + proj).astype(o_ref.dtype)
+
+
+def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
+                       a_qkv, a_out, heads, head_dim, eps=1e-6,
+                       scale=None, *, interpret=False):
+    """(B, S, W) → (B, S, W): the full attention sublayer as ONE kernel.
+
+    Falls back to ln_qkv_int8 + attn_out_int8 when the QKV weight or the
+    in-VMEM QKV activation would not fit (large geometries), or off-TPU."""
+    b, s, w = x.shape
+    scale = scale if scale is not None else head_dim ** -0.5
+    lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
+    aligned = w % 128 == 0 and s % 8 == 0
+    # VMEM: qkv weights int8 (3W*W) + out (W*W) + qkv act (S*3W bf16)
+    #       + scores (S*S f32, sequential per head) + x/out tiles
+    vmem = 4 * w * w + s * 3 * w * 2 + s * s * 4 + 3 * s * w * 4
+    fits = vmem <= 12 * 1024 * 1024
+    if (_on_tpu() or interpret) and lane_ok and aligned and fits:
+        a2 = jnp.stack([jnp.asarray(a_qkv, jnp.float32).reshape(()),
+                        jnp.asarray(a_out, jnp.float32).reshape(())])
+        kernel = functools.partial(
+            _attn_sublayer_kernel, heads=heads, head_dim=head_dim,
+            scale=scale, eps=float(eps))
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((w,), lambda i: (0,)),
+                pl.BlockSpec((w,), lambda i: (0,)),
+                pl.BlockSpec((w, 3 * w), lambda i: (0, 0)),
+                pl.BlockSpec((3 * w,), lambda i: (0,)),
+                pl.BlockSpec((3 * w,), lambda i: (0,)),
+                pl.BlockSpec((w, w), lambda i: (0, 0)),
+                pl.BlockSpec((w,), lambda i: (0,)),
+                pl.BlockSpec((w,), lambda i: (0,)),
+                pl.BlockSpec((2,), lambda i: (0,)),
+            ],
+            out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            interpret=interpret,
+        )(x, ln_params["scale"].astype(jnp.float32),
+          ln_params["bias"].astype(jnp.float32),
+          qkv_wq["q"], qkv_wq["scale"].astype(jnp.float32),
+          qkv_b.astype(jnp.float32),
+          out_wq["q"], out_wq["scale"].astype(jnp.float32),
+          out_b.astype(jnp.float32), a2)
+    qkv = ln_qkv_int8(x, ln_params, qkv_wq, qkv_b, a_qkv, eps,
+                      interpret=interpret)
+    return attn_out_int8(qkv, x, out_wq, out_b, a_out, heads, head_dim,
+                         scale, interpret=interpret)
+
+
+# ------------------------------------------------ K123 (whole-layer kernel)
+def _layer_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                  wout_ref, sout_ref, bout_ref, g2_ref, b2_ref,
+                  w1_ref, s1_ref, bb1_ref, w2_ref, s2_ref, bb2_ref,
+                  a_ref, o_ref, *, heads, head_dim, scale, eps):
+    """One image, one FULL transformer layer per program: both sublayers'
+    activations (QKV, attention output, the (S, 4W) MLP hidden) live and die
+    in VMEM. HBM traffic per layer = read x + write out (2 x S x W)."""
+    w = heads * head_dim
+
+    def ln(z, g, b):
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(z * z, -1, keepdims=True) - mu * mu, 0.0)
+        return (z - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+    x32 = x_ref[0].astype(jnp.float32)                     # (S, W)
+    aq, ao, a1, a2 = a_ref[0], a_ref[1], a_ref[2], a_ref[3]
+
+    # ---- attention sublayer
+    q8 = _quant_rows(ln(x32, g1_ref[...], b1_ref[...]), aq)
+    acc = jax.lax.dot_general(q8, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * ((aq / 127.0) * sqkv_ref[...])
+           + bqkv_ref[...]).astype(jnp.bfloat16)           # (S, 3W)
+    outs = []
+    for h in range(heads):
+        lo = h * head_dim
+        qh = qkv[:, lo:lo + head_dim]
+        kh = qkv[:, w + lo:w + lo + head_dim]
+        vh = qkv[:, 2 * w + lo:2 * w + lo + head_dim]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(vh.dtype), vh,
+                            preferred_element_type=jnp.float32))
+    o8 = _quant_rows(jnp.concatenate(outs, axis=-1), ao)
+    acc2 = jax.lax.dot_general(o8, wout_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    x32 = x32 + acc2.astype(jnp.float32) * ((ao / 127.0) * sout_ref[...]) \
+        + bout_ref[...]
+
+    # ---- MLP sublayer
+    q1 = _quant_rows(ln(x32, g2_ref[...], b2_ref[...]), a1)
+    acc3 = jax.lax.dot_general(q1, w1_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    h1 = acc3.astype(jnp.float32) * ((a1 / 127.0) * s1_ref[...]) \
+        + bb1_ref[...]
+    h1 = jax.nn.gelu(h1, approximate=True)
+    q2 = _quant_rows(h1, a2)
+    acc4 = jax.lax.dot_general(q2, w2_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    o = acc4.astype(jnp.float32) * ((a2 / 127.0) * s2_ref[...]) + bb2_ref[...]
+    o_ref[0] = (x32 + o).astype(o_ref.dtype)
+
+
+def siglip_layer_int8(x, bp, heads, head_dim, eps=1e-6, scale=None, *,
+                      interpret=False):
+    """(B, S, W) → (B, S, W): one static-quantized SigLIP layer as ONE
+    Pallas kernel (see _layer_kernel). bp: the per-layer quantize_siglip
+    slice incl. act_scales. Returns None if the geometry doesn't fit —
+    caller falls back to the split kernels."""
+    b, s, w = x.shape
+    scale = scale if scale is not None else head_dim ** -0.5
+    attn, mlp, sc = bp["attn"], bp["mlp"], bp["act_scales"]
+    inter = mlp["fc1_w"]["q"].shape[-1]
+    lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
+    aligned = w % 128 == 0 and s % 8 == 0 and inter % 128 == 0
+    weights = 4 * w * w + 2 * w * inter                    # int8 bytes
+    acts = s * 3 * w * 2 + s * s * 4 + s * inter * 4 + 3 * s * w * 4
+    fits = weights + acts <= 13 * 1024 * 1024
+    if not ((_on_tpu() or interpret) and lane_ok and aligned and fits):
+        return None
+    a4 = jnp.stack([jnp.asarray(sc[k], jnp.float32).reshape(())
+                    for k in ("qkv", "out", "fc1", "fc2")])
+    kernel = functools.partial(_layer_kernel, heads=heads,
+                               head_dim=head_dim, scale=scale,
+                               eps=float(eps))
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,))
+    mat = lambda a, c: pl.BlockSpec((a, c), lambda i: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
+            vec(w), vec(w),
+            mat(w, 3 * w), vec(3 * w), vec(3 * w),
+            mat(w, w), vec(w), vec(w),
+            vec(w), vec(w),
+            mat(w, inter), vec(inter), vec(inter),
+            mat(inter, w), vec(w), vec(w),
+            vec(4),
+        ],
+        out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        interpret=interpret,
+    )(x, bp["ln1"]["scale"].astype(jnp.float32),
+      bp["ln1"]["bias"].astype(jnp.float32),
+      attn["qkv_w"]["q"], attn["qkv_w"]["scale"].astype(jnp.float32),
+      attn["qkv_b"].astype(jnp.float32),
+      attn["out_w"]["q"], attn["out_w"]["scale"].astype(jnp.float32),
+      attn["out_b"].astype(jnp.float32),
+      bp["ln2"]["scale"].astype(jnp.float32),
+      bp["ln2"]["bias"].astype(jnp.float32),
+      mlp["fc1_w"]["q"], mlp["fc1_w"]["scale"].astype(jnp.float32),
+      mlp["fc1_b"].astype(jnp.float32),
+      mlp["fc2_w"]["q"], mlp["fc2_w"]["scale"].astype(jnp.float32),
+      mlp["fc2_b"].astype(jnp.float32), a4)
+
+
 # ------------------------------------------------------------------ K2
 def _attn_out_kernel(q_ref, k_ref, v_ref, x_ref, w_ref, s_ref, bias_ref,
                      a_ref, o_ref, *, heads, head_dim, scale):
