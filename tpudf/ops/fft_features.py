@@ -108,25 +108,22 @@ def fft2_shifted_matmul(gray, dtype=jnp.bfloat16):
     accumulation — feature-level error is ~1e-3 relative (the 24-d battery
     is statistical; parity test tests/test_freq_features.py)."""
     b, h, w = gray.shape
-    ch, sh = (jnp.asarray(m) for m in _dft_mats(h))
-    cw, sw = (jnp.asarray(m) for m in _dft_mats(w))
-    xs = (gray * jnp.asarray(_checkerboard(h, w))).astype(dtype)
     f32 = jnp.float32
-    # row transform: U - iV = (C - iS) @ X
-    u = jnp.einsum("kn,bnm->bkm", ch.astype(dtype), xs,
-                   preferred_element_type=f32).astype(dtype)
-    v = jnp.einsum("kn,bnm->bkm", sh.astype(dtype), xs,
-                   preferred_element_type=f32).astype(dtype)
-    # column transform: (U - iV)(C - iS) = (UC - VS) - i(US + VC)
-    re = jnp.einsum("bkm,mj->bkj", u, cw.astype(dtype),
-                    preferred_element_type=f32) \
-        - jnp.einsum("bkm,mj->bkj", v, sw.astype(dtype),
-                     preferred_element_type=f32)
-    im = -(jnp.einsum("bkm,mj->bkj", u, sw.astype(dtype),
-                      preferred_element_type=f32)
-           + jnp.einsum("bkm,mj->bkj", v, cw.astype(dtype),
-                        preferred_element_type=f32))
-    return re, im
+    ch, sh = _dft_mats(h)
+    cw, sw = _dft_mats(w)
+    # concatenated form — TWO einsums instead of six:
+    #   stage 1: [U; V] = [C; S] @ X            (2h, w) result rows
+    #   stage 2: [re | im] = [U V] @ [[C, -S], [-S, -C]]
+    # (derivation: (U - iV)(C - iS) = (UC - VS) - i(US + VC))
+    a1 = jnp.asarray(np.concatenate([ch, sh], 0).astype(np.float32))
+    a2 = jnp.asarray(np.block([[cw, -sw], [-sw, -cw]]).astype(np.float32))
+    xs = (gray * jnp.asarray(_checkerboard(h, w))).astype(dtype)
+    uv = jnp.einsum("kn,bnm->bkm", a1.astype(dtype), xs,
+                    preferred_element_type=f32).astype(dtype)   # (B, 2h, w)
+    uv = jnp.concatenate([uv[:, :h], uv[:, h:]], axis=-1)       # (B, h, 2w)
+    reim = jnp.einsum("bkm,mj->bkj", uv, a2.astype(dtype),
+                      preferred_element_type=f32)               # (B, h, 2w)
+    return reim[..., :w], reim[..., w:]
 
 
 def _on_tpu():
