@@ -1,6 +1,7 @@
 """Int8 inference quantization tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -93,3 +94,31 @@ def test_engine_quantize_tracks_float():
     np.testing.assert_allclose(got, ref, atol=0.05)
     # idempotent
     eng.quantize()
+
+
+@pytest.mark.parametrize("width,layers,heads,mlp,img", [
+    (256, 2, 2, 512, 32),      # base-like: head_dim 128, lane-aligned
+    (144, 2, 2, 304, 32),      # so400m-like ratios: head_dim 72 (odd lane),
+                               # mlp not 128-aligned -> every kernel falls
+                               # back to its XLA twin
+])
+def test_static_quant_geometries(width, layers, heads, mlp, img):
+    """The static-int8 path must produce float-tracking output for both
+    lane-aligned and fallback geometries (so400m head_dim=72 takes the XLA
+    twins end to end)."""
+    from tpudf.models.siglip import SigLIPConfig
+    from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                 quantize_siglip_static)
+
+    cfg = SigLIPConfig(width, layers, heads, mlp, img, 16)
+    bb = init_siglip(jax.random.key(0), cfg)
+    rng = np.random.default_rng(4)
+    calib = jnp.asarray(rng.random((4, img, img, 3)), jnp.float32)
+    scales = calibrate_siglip_act_scales(bb, cfg, calib, F32_POLICY)
+    qbb = quantize_siglip_static(bb, scales)
+    px = jnp.asarray(rng.random((2, img, img, 3)), jnp.float32)
+    ref = np.asarray(siglip_forward(bb, px, cfg, F32_POLICY)["pooled"])
+    out = np.asarray(siglip_forward(qbb, px, cfg, F32_POLICY)["pooled"])
+    cos = np.sum(ref * out, 1) / (np.linalg.norm(ref, axis=1)
+                                  * np.linalg.norm(out, axis=1))
+    assert cos.min() > 0.98

@@ -260,6 +260,63 @@ def _reference_qkv(qkv, heads, head_dim, scale):
     return o.reshape(b, s, w)
 
 
+def _attn_qkv_bwd_kernel(qkv_ref, g_ref, d_ref, *, heads, head_dim, scale):
+    """Fused-QKV attention backward, one image per program.
+
+    Standard full-softmax gradients (no streaming needed at SigLIP sequence
+    lengths — the (S, S) probability tile lives in VMEM):
+      P  = softmax(q k^T * scale)
+      dV = P^T g;  dP = g V^T;  dS = P * (dP - rowsum(dP * P)) * scale
+      dQ = dS K;   dK = dS^T Q
+    Writes the (S, 3W) dqkv laid out exactly like the forward input.
+    """
+    w = heads * head_dim
+    for h in range(heads):
+        lo = h * head_dim
+        q = qkv_ref[0, :, lo:lo + head_dim]
+        k = qkv_ref[0, :, w + lo:w + lo + head_dim]
+        v = qkv_ref[0, :, 2 * w + lo:2 * w + lo + head_dim]
+        gh = g_ref[0, :, lo:lo + head_dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)           # (S, S) f32
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(pb, gh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dsb = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d_ref[0, :, lo:lo + head_dim] = dq.astype(d_ref.dtype)
+        d_ref[0, :, w + lo:w + lo + head_dim] = dk.astype(d_ref.dtype)
+        d_ref[0, :, 2 * w + lo:2 * w + lo + head_dim] = dv.astype(d_ref.dtype)
+
+
+def _attention_qkv_bwd_pallas(qkv, g, heads, head_dim, scale, *,
+                              interpret=False):
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    kernel = functools.partial(_attn_qkv_bwd_kernel, heads=heads,
+                               head_dim=head_dim, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, w3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, w3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, w3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, g)
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_qkv_with_vjp(heads: int, head_dim: int, scale: float,
                         interpret: bool):
@@ -273,6 +330,16 @@ def _fused_qkv_with_vjp(heads: int, head_dim: int, scale: float,
 
     def bwd(res, g):
         (qkv,) = res
+        b, s, w3 = qkv.shape
+        w = w3 // 3
+        # Pallas bwd kernel when the (S,S) f32 tile + qkv rows fit VMEM and
+        # lanes align; XLA-recompute VJP otherwise (so400m head_dim=72,
+        # very long sequences)
+        fits = s * s * 4 + 2 * s * w3 * 2 + s * w * 2 <= 12 * 1024 * 1024
+        lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
+        if fits and lane_ok and s % 8 == 0 and w % 128 == 0:
+            return (_attention_qkv_bwd_pallas(
+                qkv, g, heads, head_dim, scale, interpret=interpret),)
         _, vjp = jax.vjp(
             lambda t: _reference_qkv(t, heads, head_dim, scale), qkv)
         return vjp(g)
