@@ -54,6 +54,44 @@ def _logit(p, eps=1e-6):
     return jnp.log(p / (1 - p))
 
 
+# Per-image scalar outputs are packed into one (B, K) array inside the jit
+# graph: each host fetch of a separate leaf costs a full device round trip
+# (~30 ms each through a tunneled chip — 15 leaves made the host wrapper 3x
+# the graph time). _pack/_unpack keep the public dict interface unchanged
+# (risk_idx comes back f32; every consumer casts with int()).
+_PACK_KEY = "_packed_scalars"
+
+
+def _pack(out: dict) -> dict:
+    """Stack every (B,) output into one (B, K) f32 array (sorted key
+    order — _unpack re-derives the order from the same rule)."""
+    scalars = sorted(k for k, v in out.items()
+                     if hasattr(v, "ndim") and v.ndim == 1)
+    rest = {k: v for k, v in out.items() if k not in scalars}
+    rest[_PACK_KEY] = jnp.stack(
+        [out[k].astype(jnp.float32) for k in scalars], axis=1)
+    return rest
+
+
+def _unpack(out: dict, names) -> dict:
+    if _PACK_KEY not in out:
+        return out
+    packed = np.asarray(out.pop(_PACK_KEY))
+    assert packed.shape[1] == len(names), (packed.shape, names)
+    for i, k in enumerate(names):
+        out[k] = packed[:, i]
+    return out
+
+
+# static contracts: the sorted (B,)-shaped keys of each detect fn's output
+FULL_SCALARS = ("embed_l2", "entropy", "freq_prob", "max_patch", "p_blend",
+                "p_fake_coral", "p_fake_raw", "patch_mean", "risk_idx",
+                "visual_prob", "z_freq", "z_sig")
+FAST_SCALARS = ("entropy", "freq_prob", "p_blend", "p_fake_coral",
+                "p_fake_raw", "risk_idx", "visual_prob", "z_freq", "z_sig",
+                "z_scaled")
+
+
 @dataclasses.dataclass
 class DetectEngine:
     """Holds params + compiled batched inference graphs."""
@@ -105,14 +143,16 @@ class DetectEngine:
         pixels_uint8: (B, S, S, 3) uint8 → dict of per-image signals
         (+ per-patch probabilities for the localization heatmap)."""
         x = jnp.asarray(pixels_uint8)
-        return jax.tree.map(np.asarray, self._detect(
-            self.backbone, self.head, self.freq, self.fusion, x))
+        return _unpack(jax.device_get(self._detect(
+            self.backbone, self.head, self.freq, self.fusion, x)),
+            FULL_SCALARS)
 
     def predict_batch_fast(self, pixels_uint8: np.ndarray) -> dict:
         """fast_mode (video frames, appv3.py:6409): single view + rot only."""
         x = jnp.asarray(pixels_uint8)
-        return jax.tree.map(np.asarray, self._detect_fast(
-            self.backbone, self.head, self.freq, self.fusion, x))
+        return _unpack(jax.device_get(self._detect_fast(
+            self.backbone, self.head, self.freq, self.fusion, x)),
+            FAST_SCALARS)
 
 
 def _freq_gray(views_flat):
@@ -212,7 +252,7 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
     z_patch = apply_fusion_linear(fusion, vp, fp)
     patch_probs = coral_blend(z_patch, cuts)["p_blend"]  # (B, 16)
 
-    return {
+    return _pack({
         "p_blend": p_blend,
         "p_fake_raw": p_raw,
         "p_fake_coral": p_coral,
@@ -228,7 +268,7 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
         "patch_mean": jnp.mean(patch_probs, axis=1),
         "embed_l2": embed_l2,
         "embed_feat": embed_feat,
-    }
+    })
 
 
 def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
@@ -247,4 +287,4 @@ def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
     out = coral_blend(z_fused, cuts)
     out.update({"visual_prob": vprob, "freq_prob": p_freq,
                 "z_sig": _logit(vprob), "z_freq": z_freq[:, 0]})
-    return out
+    return _pack(out)
