@@ -133,3 +133,29 @@ def test_sharded_mtl_train_step(mesh8):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(float(m["cls_acc"]), float(m_ref["cls_acc"]),
                                atol=1e-6)
+
+
+def test_sharded_detect_core_quantized(mesh8):
+    """The deployed W8A8 engine must shard over the data mesh identically
+    to its single-device output (serving scale-out config)."""
+    from tpudf.calib.coral import CoralCutpoints
+    from tpudf.models.freq_mlp import init_freq_mlp
+    from tpudf.models.fusion import init_fusion_linear
+    from tpudf.models.heads import init_binary_head
+    from tpudf.parallel.inference import sharded_detect_core
+    from tpudf.serve.engine import DetectEngine
+
+    k = jax.random.split(jax.random.key(5), 4)
+    engine = DetectEngine(cfg=CFG, backbone=init_siglip(k[0], CFG),
+                          head=init_binary_head(k[1], CFG.width),
+                          freq=init_freq_mlp(k[2]),
+                          fusion=init_fusion_linear(k[3]),
+                          policy=F32_POLICY,
+                          cuts=CoralCutpoints.default()).quantize()
+    px = np.random.default_rng(5).integers(0, 256, (6, 32, 32, 3), np.uint8)
+    out = sharded_detect_core(mesh8, engine)(px.astype(np.float32))
+    ref = engine.predict_batch(px)
+    for key in ("p_blend", "visual_prob", "max_patch"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]),
+                                   atol=5e-4, rtol=5e-4)

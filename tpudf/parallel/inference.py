@@ -112,7 +112,9 @@ def sharded_detect_core(mesh: Mesh, engine):
     runner = DataParallelRunner(mesh, fn)
 
     def run(pixels_uint8):
-        return runner(backbone, head, freq, fusion,
-                      batch=np.asarray(pixels_uint8))
+        from tpudf.serve.engine import FULL_SCALARS, _unpack
+        out = runner(backbone, head, freq, fusion,
+                     batch=np.asarray(pixels_uint8))
+        return _unpack(dict(out), FULL_SCALARS)
 
     return run
