@@ -297,6 +297,41 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
         from tpudf.ops.mlp import mlp_block_fused_int8
         from tpudf.ops.quant import int8_matmul_pre, int8_matmul_static
         sc = bp["act_scales"]
+        d = cfg.head_dim
+        heads = cfg.heads
+        qkv_wq, qkv_b = bp["attn"]["qkv_w"], bp["attn"]["qkv_b"]
+        out_wq = bp["attn"]["out_w"]
+        attn_scale = None
+        if not (d % 128 == 0 or 128 % d == 0):
+            # lane-align heads by zero-padding each head's slot in the INT8
+            # weights (so400m d=72 → 128), exactly as the bf16 path above:
+            # padded dims contribute zero scores/outputs; per-column weight
+            # scales pad with 1 (their columns are all-zero anyway)
+            dp = ((d + 127) // 128) * 128
+            attn_scale = d ** -0.5
+            w_ = qkv_wq["q"].shape[0]
+            qkv_wq = {
+                "q": jnp.pad(
+                    qkv_wq["q"].reshape(w_, 3, heads, d),
+                    ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
+                        w_, 3 * heads * dp),
+                "scale": jnp.pad(
+                    qkv_wq["scale"].reshape(3, heads, d),
+                    ((0, 0), (0, 0), (0, dp - d)),
+                    constant_values=1.0).reshape(-1),
+            }
+            qkv_b = jnp.pad(qkv_b.reshape(3, heads, d),
+                            ((0, 0), (0, 0), (0, dp - d))).reshape(-1)
+            out_wq = {
+                "q": jnp.pad(out_wq["q"].reshape(heads, d, w_),
+                             ((0, 0), (0, dp - d), (0, 0))).reshape(
+                                 heads * dp, w_),
+                "scale": out_wq["scale"],
+            }
+            d = dp
+        bp = dict(bp)
+        bp["attn"] = {"qkv_w": qkv_wq, "qkv_b": qkv_b,
+                      "out_w": out_wq, "out_b": bp["attn"]["out_b"]}
         # measured on v5e, base-256 B=256: FPP 5027 img/s (fused attention
         # sublayer + MLP kernel), LLL 5009 (whole-layer megakernel),
         # PPP 4439, XXX 3998. FPP default; LLL kept for other geometries.
@@ -304,8 +339,8 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
         if variant == "LLL":
             # whole-layer megakernel: one HBM read + one write per layer
             from tpudf.ops.int8_block import siglip_layer_int8
-            out = siglip_layer_int8(x, bp, cfg.heads, cfg.head_dim,
-                                    cfg.ln_eps, interpret=interpret)
+            out = siglip_layer_int8(x, bp, heads, d, cfg.ln_eps,
+                                    attn_scale, interpret=interpret)
             if out is not None:
                 return out
             variant = "FPP"
@@ -314,7 +349,7 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
             x = attn_sublayer_int8(
                 x, bp["ln1"], bp["attn"]["qkv_w"], bp["attn"]["qkv_b"],
                 bp["attn"]["out_w"], bp["attn"]["out_b"], sc["qkv"],
-                sc["out"], cfg.heads, cfg.head_dim, cfg.ln_eps,
+                sc["out"], heads, d, cfg.ln_eps, attn_scale,
                 interpret=interpret)
         else:
             if variant[0] == "P":
@@ -329,10 +364,10 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret):
                        + bp["attn"]["qkv_b"]).astype(x.dtype)
             if variant[1] == "P":
                 x = attn_out_int8(qkv, x, bp["attn"]["out_w"],
-                                  bp["attn"]["out_b"], sc["out"], cfg.heads,
-                                  cfg.head_dim, interpret=interpret)
+                                  bp["attn"]["out_b"], sc["out"], heads,
+                                  d, attn_scale, interpret=interpret)
             else:
-                o = attention_qkv(qkv, cfg.heads, cfg.head_dim,
+                o = attention_qkv(qkv, heads, d, attn_scale,
                                   interpret=interpret)
                 x = x + (int8_matmul_static(o, bp["attn"]["out_w"],
                                             sc["out"]) + bp["attn"]["out_b"])

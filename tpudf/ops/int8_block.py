@@ -113,9 +113,11 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                           wout_ref, sout_ref, bout_ref, a_ref, o_ref, *,
                           heads, head_dim, scale, eps):
     """One image per program: LN → quant → int8 QKV → attention → quant →
-    int8 out-proj → residual, entirely in VMEM. The (S, 3W) QKV activation
+    int8 out-proj → residual, entirely in VMEM. The (S, 3Wa) QKV activation
     never exists in HBM — at batch 256 that deletes ~0.6 GB of traffic per
-    layer versus the separate-kernel form."""
+    layer versus the separate-kernel form. The attention width Wa
+    (= heads*head_dim) may exceed the model width W when heads are
+    lane-padded (so400m 72 → 128)."""
     x32 = x_ref[0].astype(jnp.float32)                     # (S, W)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
@@ -126,14 +128,14 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                               preferred_element_type=jnp.int32)
     qkv = acc.astype(jnp.float32) * ((aq / 127.0) * sqkv_ref[...]) \
         + bqkv_ref[...]
-    qkv = qkv.astype(jnp.bfloat16)                         # (S, 3W)
-    w = heads * head_dim
+    qkv = qkv.astype(jnp.bfloat16)                         # (S, 3Wa)
+    wa = heads * head_dim
     outs = []
     for h in range(heads):
         lo = h * head_dim
         qh = qkv[:, lo:lo + head_dim]
-        kh = qkv[:, w + lo:w + lo + head_dim]
-        vh = qkv[:, 2 * w + lo:2 * w + lo + head_dim]
+        kh = qkv[:, wa + lo:wa + lo + head_dim]
+        vh = qkv[:, 2 * wa + lo:2 * wa + lo + head_dim]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -141,7 +143,7 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         outs.append(jnp.dot(p.astype(vh.dtype), vh,
                             preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1)                     # (S, W) f32
+    o = jnp.concatenate(outs, axis=-1)                     # (S, Wa) f32
     ao = a_ref[1]
     o8 = _quant_rows(o, ao)
     acc2 = jax.lax.dot_general(o8, wout_ref[...], (((1,), (0,)), ((), ())),
@@ -156,15 +158,19 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
                        scale=None, *, interpret=False):
     """(B, S, W) → (B, S, W): the full attention sublayer as ONE kernel.
 
-    Falls back to ln_qkv_int8 + attn_out_int8 when the QKV weight or the
-    in-VMEM QKV activation would not fit (large geometries), or off-TPU."""
+    qkv weights may carry lane-padded heads (columns = 3*heads*head_dim
+    with head_dim already padded; out weight rows match). Falls back to
+    ln_qkv_int8 + attn_out_int8 when the QKV weight or the in-VMEM QKV
+    activation would not fit (large geometries), or off-TPU."""
     b, s, w = x.shape
+    wa = heads * head_dim                    # attention width (>= w if padded)
     scale = scale if scale is not None else head_dim ** -0.5
     lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
-    aligned = w % 128 == 0 and s % 8 == 0
-    # VMEM: qkv weights int8 (3W*W) + out (W*W) + qkv act (S*3W bf16)
+    aligned = w % 128 == 0 and wa % 128 == 0 and s % 8 == 0
+    assert qkv_wq["q"].shape == (w, 3 * wa), (qkv_wq["q"].shape, w, wa)
+    # VMEM: qkv weights int8 (3Wa*W) + out (Wa*W) + qkv act (S*3Wa bf16)
     #       + scores (S*S f32, sequential per head) + x/out tiles
-    vmem = 4 * w * w + s * 3 * w * 2 + s * s * 4 + 3 * s * w * 4
+    vmem = 4 * w * wa + s * 3 * wa * 2 + s * s * 4 + 3 * s * w * 4
     fits = vmem <= 12 * 1024 * 1024
     if (_on_tpu() or interpret) and lane_ok and aligned and fits:
         a2 = jnp.stack([jnp.asarray(a_qkv, jnp.float32).reshape(()),
@@ -179,10 +185,10 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
                 pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((w,), lambda i: (0,)),
-                pl.BlockSpec((w, 3 * w), lambda i: (0, 0)),
-                pl.BlockSpec((3 * w,), lambda i: (0,)),
-                pl.BlockSpec((3 * w,), lambda i: (0,)),
-                pl.BlockSpec((w, w), lambda i: (0, 0)),
+                pl.BlockSpec((w, 3 * wa), lambda i: (0, 0)),
+                pl.BlockSpec((3 * wa,), lambda i: (0,)),
+                pl.BlockSpec((3 * wa,), lambda i: (0,)),
+                pl.BlockSpec((wa, w), lambda i: (0, 0)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((2,), lambda i: (0,)),
@@ -346,16 +352,12 @@ def _attn_out_kernel(q_ref, k_ref, v_ref, x_ref, w_ref, s_ref, bias_ref,
 
 
 def _attn_out_reference(qkv, x, wq, ws, bias, a, heads, head_dim, scale):
-    b, s, w3 = qkv.shape
-    w = w3 // 3
-    q = qkv[..., :w].reshape(b, s, heads, head_dim)
-    k = qkv[..., w:2 * w].reshape(b, s, heads, head_dim)
-    v = qkv[..., 2 * w:].reshape(b, s, heads, head_dim)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(logits, axis=-1)
-    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
-                   preferred_element_type=jnp.float32).reshape(b, s, w)
+    """Fallback when the fused kernel exceeds VMEM (so400m padded S=1024):
+    the attention itself still goes through ops/attention.attention_qkv
+    (Pallas on TPU with its own head-group tiling; XLA einsum elsewhere) —
+    only the quant + int8 out-proj + residual run as plain XLA."""
+    from tpudf.ops.attention import attention_qkv
+    o = attention_qkv(qkv, heads, head_dim, scale)       # (B, S, Wa)
     a = jnp.asarray(a, jnp.float32)
     q8 = _quant_rows(o.astype(jnp.float32), a)
     acc = jax.lax.dot_general(q8, wq, (((2,), (0,)), ((), ())),
@@ -373,15 +375,21 @@ def attn_out_int8(qkv, x, wq_dict, bias, act_scale, heads, head_dim,
     through HBM. Requires lane-aligned head_dim (64/128; so400m's 72 → XLA
     twin) and S small enough for full-softmax VMEM residency."""
     b, s, w3 = qkv.shape
-    w = w3 // 3
+    wa = w3 // 3                     # attention width (head-padded allowed)
+    wm = x.shape[-1]                 # model width
     scale = scale if scale is not None else head_dim ** -0.5
     wq, ws = wq_dict["q"], wq_dict["scale"]
     args_ref = (wq, ws.astype(jnp.float32), bias.astype(jnp.float32))
     a = jnp.asarray(act_scale, jnp.float32).reshape(1)
     lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
-    aligned = w % 128 == 0
-    # K/V + scores VMEM bound: 2*S*W bf16 + qb*S f32 per head (sequential)
-    fits = 2 * s * w * 2 + q_block * s * 4 <= 12 * 1024 * 1024
+    aligned = wa % 128 == 0 and wm % 128 == 0
+    # VMEM bound incl. Mosaic double-buffering of the input blocks (2x the
+    # q/K/V/x tiles) + weight + f32 score and o tiles — the padded so400m
+    # geometry (S=1024, Wa=2048) measured 19 MB against the old estimate's
+    # 9.4 and OOMed the 16 MB scoped limit
+    qb0 = min(q_block, s)
+    fits = (2 * (qb0 * wa * 2 + 2 * s * wa * 2 + qb0 * wm * 2)
+            + wa * wm + qb0 * s * 4 + qb0 * wa * 4) <= 13 * 1024 * 1024
     if not ((_on_tpu() or interpret) and lane_ok and aligned and fits
             and s % 8 == 0):
         return _attn_out_reference(qkv, x, *args_ref, a, heads, head_dim,
@@ -397,17 +405,17 @@ def attn_out_int8(qkv, x, wq_dict, bias, act_scale, heads, head_dim,
         kernel,
         grid=(b, sp // qb),
         in_specs=[
-            pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),       # q rows
-            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 1)),        # full K
-            pl.BlockSpec((1, s, w), lambda i, j: (i, 0, 2)),        # full V
-            pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),       # residual
-            pl.BlockSpec((w, w), lambda i, j: (0, 0)),
-            pl.BlockSpec((w,), lambda i, j: (0,)),
-            pl.BlockSpec((w,), lambda i, j: (0,)),
+            pl.BlockSpec((1, qb, wa), lambda i, j: (i, j, 0)),      # q rows
+            pl.BlockSpec((1, s, wa), lambda i, j: (i, 0, 1)),       # full K
+            pl.BlockSpec((1, s, wa), lambda i, j: (i, 0, 2)),       # full V
+            pl.BlockSpec((1, qb, wm), lambda i, j: (i, j, 0)),      # residual
+            pl.BlockSpec((wa, wm), lambda i, j: (0, 0)),
+            pl.BlockSpec((wm,), lambda i, j: (0,)),
+            pl.BlockSpec((wm,), lambda i, j: (0,)),
             pl.BlockSpec((1,), lambda i, j: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, qb, w), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, sp, w), x.dtype),
+        out_specs=pl.BlockSpec((1, qb, wm), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sp, wm), x.dtype),
         interpret=interpret,
     )(qkv_p, qkv_p, qkv_p, x_p, *args_ref, a)
     return out[:, :s] if sp != s else out
