@@ -15,8 +15,11 @@ projections all run at the v5e's 2x int8 MXU rate. This is the TPU-native
 replacement for the reference's CUDA Flash-SDPA + cuBLAS path
 (cifake_binary_classifier.py:24-27) at inference time.
 
-All kernels have exact XLA twins used off-TPU and for non-lane-aligned
-geometries (so400m head_dim=72 falls back for K2).
+All kernels have exact XLA twins used off-TPU. Non-lane-aligned head dims
+(so400m's 72) are handled by models/siglip zero-padding each head's slot in
+the int8 weights to 128 before dispatch (attention width Wa > model width W);
+geometries whose working set exceeds VMEM route attention through the
+ops/attention Pallas kernel with XLA int8 projections.
 """
 
 from __future__ import annotations

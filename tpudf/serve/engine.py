@@ -62,11 +62,13 @@ def _logit(p, eps=1e-6):
 _PACK_KEY = "_packed_scalars"
 
 
-def _pack(out: dict) -> dict:
-    """Stack every (B,) output into one (B, K) f32 array (sorted key
-    order — _unpack re-derives the order from the same rule)."""
+def _pack(out: dict, names) -> dict:
+    """Stack every (B,) output into one (B, K) f32 array. `names` is the
+    static contract _unpack uses host-side; asserted here at trace time so
+    the two can never drift."""
     scalars = sorted(k for k, v in out.items()
                      if hasattr(v, "ndim") and v.ndim == 1)
+    assert tuple(scalars) == tuple(names), (scalars, names)
     rest = {k: v for k, v in out.items() if k not in scalars}
     rest[_PACK_KEY] = jnp.stack(
         [out[k].astype(jnp.float32) for k in scalars], axis=1)
@@ -88,8 +90,8 @@ FULL_SCALARS = ("embed_l2", "entropy", "freq_prob", "max_patch", "p_blend",
                 "p_fake_coral", "p_fake_raw", "patch_mean", "risk_idx",
                 "visual_prob", "z_freq", "z_sig")
 FAST_SCALARS = ("entropy", "freq_prob", "p_blend", "p_fake_coral",
-                "p_fake_raw", "risk_idx", "visual_prob", "z_freq", "z_sig",
-                "z_scaled")
+                "p_fake_raw", "risk_idx", "visual_prob", "z_freq",
+                "z_scaled", "z_sig")
 
 
 @dataclasses.dataclass
@@ -268,7 +270,7 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
         "patch_mean": jnp.mean(patch_probs, axis=1),
         "embed_l2": embed_l2,
         "embed_feat": embed_feat,
-    })
+    }, FULL_SCALARS)
 
 
 def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
@@ -287,4 +289,4 @@ def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
     out = coral_blend(z_fused, cuts)
     out.update({"visual_prob": vprob, "freq_prob": p_freq,
                 "z_sig": _logit(vprob), "z_freq": z_freq[:, 0]})
-    return _pack(out)
+    return _pack(out, FAST_SCALARS)
