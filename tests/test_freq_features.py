@@ -129,3 +129,25 @@ def test_matmul_dft_matches_fft_path():
     fa = np.asarray(fft_features(gray, use_matmul_dft=True))
     fb = np.asarray(fft_features(gray, use_matmul_dft=False))
     np.testing.assert_allclose(fa, fb, atol=5e-3, rtol=5e-3)
+
+
+def test_matmul_dft_256_bf16_feature_parity():
+    """The DEPLOYED TPU path — fft_features via the bf16 DFT-by-matmul at
+    the real 256x256 input size (use_matmul_dft=True with the default bf16
+    dtype) — must stay feature-level close to the f32 jnp.fft path. Guards
+    the bf16 phase noise on small-magnitude coefficients, which hits the
+    phase-entropy feature hardest (ADVICE r2 #5)."""
+    rng = np.random.default_rng(5)
+    # realistic-ish inputs: smooth image + noise, plus a pure-noise image
+    yy, xx = np.mgrid[0:256, 0:256] / 256.0
+    smooth = 0.5 + 0.3 * np.sin(7 * yy) * np.cos(11 * xx)
+    imgs = np.stack([
+        np.clip(smooth + 0.05 * rng.standard_normal((256, 256)), 0, 1),
+        rng.random((256, 256)),
+    ]).astype(np.float32)
+    gray = jnp.asarray(imgs)
+    fa = np.asarray(fft_features(gray, use_matmul_dft=True))
+    fb = np.asarray(fft_features(gray, use_matmul_dft=False))
+    # features are statistical aggregates; bf16 rounding must stay well
+    # inside decision-irrelevant territory
+    np.testing.assert_allclose(fa, fb, atol=0.06, rtol=0.05)

@@ -46,7 +46,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_engine(args):
+def build_engine(args, calib_uint8=None):
     import jax
     from tpudf.calib.coral import CoralCutpoints
     from tpudf.core.precision import DEFAULT_POLICY
@@ -110,16 +110,42 @@ def build_engine(args):
     eng = DetectEngine(cfg=cfg, backbone=backbone, head=head, freq=freq,
                        fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY)
     if getattr(args, "int8", False):
-        eng.quantize()
+        # calibrate activation scales on the actual inputs when available
+        # (synthetic-noise amax need not bound real-image activations)
+        eng.quantize(calib_uint8)
     return eng
+
+
+def _calib_batch(args, size, n=16):
+    """First n decodable input images as a quantization-calibration batch."""
+    if not getattr(args, "int8", False):
+        return None
+    from tpudf.data.datasets import IMG_EXTS, _decode_image
+    paths = []
+    if os.path.isfile(args.input) and args.input.lower().endswith(".csv"):
+        import csv as _csv
+        with open(args.input) as f:
+            paths = [r["path"] for r in _csv.DictReader(f)]
+    elif os.path.isdir(args.input):
+        paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
+                 for f in sorted(fs) if f.lower().endswith(IMG_EXTS)]
+    imgs = []
+    for p in paths[:n]:
+        try:
+            imgs.append(_decode_image(p, size))
+        except Exception:
+            continue
+    return np.stack(imgs) if imgs else None
 
 
 def main(argv=None):
     args = parse_args(argv)
     from tpudf.data.datasets import IMG_EXTS, VIDEO_EXTS, _decode_image
+    from tpudf.models.siglip import CONFIGS
     from tpudf.serve.report import predict_images, predict_video
 
-    engine = build_engine(args)
+    engine = build_engine(
+        args, _calib_batch(args, CONFIGS[args.model_size].image_size))
     size = engine.cfg.image_size
 
     if args.video:

@@ -280,10 +280,17 @@ def siglip_layer_int8(x, bp, heads, head_dim, eps=1e-6, scale=None, *,
     inter = mlp["fc1_w"]["q"].shape[-1]
     lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
     aligned = w % 128 == 0 and s % 8 == 0 and inter % 128 == 0
+    # _layer_kernel slices QKV with w = heads*head_dim: head-padded
+    # geometries (attention width Wa > model width W, qkv weight (W, 3*Wa))
+    # must fall back to attn_sublayer_int8, which handles Wa != W.
+    unpadded = (heads * head_dim == w
+                and attn["qkv_w"]["q"].shape == (w, 3 * w)
+                and attn["out_w"]["q"].shape == (w, w))
     weights = 4 * w * w + 2 * w * inter                    # int8 bytes
     acts = s * 3 * w * 2 + s * s * 4 + s * inter * 4 + 3 * s * w * 4
     fits = weights + acts <= 13 * 1024 * 1024
-    if not ((_on_tpu() or interpret) and lane_ok and aligned and fits):
+    if not ((_on_tpu() or interpret) and lane_ok and aligned and unpadded
+            and fits):
         return None
     a4 = jnp.stack([jnp.asarray(sc[k], jnp.float32).reshape(())
                     for k in ("qkv", "out", "fc1", "fc2")])

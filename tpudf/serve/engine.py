@@ -130,6 +130,11 @@ class DetectEngine:
         if "act_scales" in self.backbone.get("blocks", {}):
             return self
         if calib_uint8 is None:
+            # per-tensor amax on noise need not bound real-image
+            # activations — real inputs can then be clipped at quantization.
+            # Callers with data available should pass a representative batch.
+            print("[quantize][warn] calibrating activation scales on "
+                  "synthetic noise — pass real images for reliable scales")
             s = self.cfg.image_size
             calib = np.random.default_rng(0).random((16, s, s, 3))
         else:
@@ -220,8 +225,13 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
     z_sig = apply_binary_head(head, feats).reshape(b, nv)
 
     # embedding-anomaly reference view: the plain full image's pooled
-    # features (appv3.py:3494-3516 encodes the uncropped image)
+    # features, L2-normalized BEFORE the norm term exactly like
+    # appv3.py:3497-3502 (f = f / ||f||, then L2 = ||f|| ≈ 1 → L2n ≈ 1/28);
+    # the unnormalized norm would saturate min(1, l2/28) and inflate the
+    # anomaly score (and GBDT feature 12) by ~0.58 vs the reference
     embed_feat = feats.reshape(b, nv, -1)[:, 52].astype(jnp.float32)
+    embed_feat = embed_feat / (
+        jnp.linalg.norm(embed_feat, axis=-1, keepdims=True) + 1e-6)
     embed_l2 = jnp.linalg.norm(embed_feat, axis=-1)
 
     # frequency expert only on views whose freq logits are consumed —

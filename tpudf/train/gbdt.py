@@ -68,6 +68,19 @@ def _fit_tree(X, grad, hess, depth, n_bins, lam, min_child):
     return nodes
 
 
+def _tree_depth(nodes):
+    """Actual max depth (an unbalanced depth-d chain has only 2d+1 nodes, so
+    inferring steps from the node count under-walks it)."""
+    maxd, stack = 0, [(0, 0)]
+    while stack:
+        nid, d = stack.pop()
+        maxd = max(maxd, d)
+        if nodes[nid].feature >= 0:
+            stack.append((nodes[nid].left, d + 1))
+            stack.append((nodes[nid].right, d + 1))
+    return maxd
+
+
 def _predict_tree(nodes, X):
     """Vectorized descent: all samples walk the tree together (leaves
     self-loop, so `depth` gather steps suffice) — no per-sample host loop."""
@@ -79,7 +92,7 @@ def _predict_tree(nodes, X):
                       for i, n in enumerate(nodes)])
     val = np.array([n.value for n in nodes])
     n = np.zeros(len(X), np.int64)
-    depth = max(1, int(np.ceil(np.log2(len(nodes) + 1))) + 1)
+    depth = max(1, _tree_depth(nodes))
     safe_feat = np.maximum(feat, 0)
     for _ in range(depth):
         go_left = X[np.arange(len(X)), safe_feat[n]] < thr[n]
