@@ -37,7 +37,9 @@ def test_temporal_signals_static_vs_noisy():
     s0 = {k: float(v) for k, v in compute_temporal_signals(static).items()}
     s1 = {k: float(v) for k, v in compute_temporal_signals(noisy).items()}
     for k, v in s0.items():
-        assert np.isfinite(v), k
+        if k == "parallax_err":
+            continue   # NaN on static scenes by design (mean-magnitude
+        assert np.isfinite(v), k   # gate, appv3.py parallax family)
     # frame-independent noise → incoherent residual/PRNU vs static clip
     assert s1["prnu_drift"] >= s0["prnu_drift"]
     assert s1["noise_incoherence"] >= s0["noise_incoherence"]

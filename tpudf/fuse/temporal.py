@@ -13,10 +13,12 @@ Device-computable subset of the reference's 20 temporal signals
   * noise residual incoherence in flat regions (:3954-4009)
   * spectral radial-profile Bhattacharyya drift (:4011-4053)
 
-The optical-flow / KLT / RANSAC-affine / face-landmark signals are
-host-bound (cv2/insightface) in the reference; they are provided through
-`host_flow_signals` (cv2-gated) and default to None in the aggregation,
-exactly as missing signals do in the reference weighting.
+The optical-flow family (fb-inconsistency, direction coherence,
+reprojection, parallax, KLT-style instability, affine outliers) runs ON
+DEVICE through ops/flow.py (pyramidal dense LK — the reference's cv2
+Farneback/KLT/RANSAC stage, appv3.py:3862-4304, was the last host-CPU hot
+loop in the video path). `host_flow_signals` keeps the cv2 version as an
+optional cross-check; tests/test_flow.py verifies agreement.
 
 Aggregation mirrors appv3.py:6326-6402: sora_likelihood +
 temporal_consistency_score weighted votes and the core/motion-hits flag.
@@ -164,8 +166,13 @@ def spectral_drift(gray):
     return jnp.clip(jnp.mean(1.0 - bc) / 0.25, 0.0, 1.0)
 
 
-def compute_temporal_signals(frames, embeds=None):
-    """frames: (T, H, W, 3) [0,1] → dict of scalar signals (device graph)."""
+def compute_temporal_signals(frames, embeds=None, include_flow=True):
+    """frames: (T, H, W, 3) [0,1] → dict of scalar signals (device graph).
+
+    include_flow adds the dense-LK flow family (ops/flow.py) when T >= 3
+    and H, W are pyramid-friendly. A NaN value marks a signal the reference
+    would gate out (e.g. parallax on a static scene) — callers drop NaNs
+    like missing signals (aggregate_sora handles this)."""
     from tpudf.ops.forensics import prnu_temporal_incoherence
     w = jnp.asarray([0.299, 0.587, 0.114])
     gray = jnp.einsum("thwc,c->thw", frames, w)
@@ -181,6 +188,10 @@ def compute_temporal_signals(frames, embeds=None):
         "noise_incoherence": noise_incoherence(gray),
         "spectral_drift": spectral_drift(gray),
     }
+    t, h, wd = gray.shape
+    if include_flow and t >= 3 and h % 16 == 0 and wd % 16 == 0:
+        from tpudf.ops.flow import flow_signals
+        sig.update(flow_signals(gray))
     if embeds is not None:
         sig["id_drift"] = identity_drift_from_embeddings(embeds)
     return sig
@@ -216,7 +227,7 @@ def aggregate_sora(signals: dict):
         num = den = 0.0
         for k, w in weights:
             v = signals.get(k)
-            if v is None:
+            if v is None or float(v) != float(v):    # None/NaN = missing
                 continue
             num += w * float(v)
             den += w
@@ -227,7 +238,9 @@ def aggregate_sora(signals: dict):
 
     def g(k):
         v = signals.get(k)
-        return float(v) if v is not None else 0.0
+        if v is None or float(v) != float(v):
+            return 0.0
+        return float(v)
 
     core_hits = sum([g("id_drift") > 0.55, g("prnu_drift") > 0.50,
                      g("prnu_flat_drift") > 0.50,
@@ -251,42 +264,27 @@ def aggregate_sora(signals: dict):
 
 
 def rendering_pipeline_score(frames_uint8):
-    """Over-regular camera-simulation score (appv3.py:2525-2566), exact
-    host-cv2 reimplementation: exposure continuity (64-bin grayscale
-    histogram Bhattacharyya between consecutive frames) blended 55/45 with
-    motion-blur regularity (exp(-var) of Farneback flow magnitude sampled at
-    Canny edges). Higher = suspiciously 'too perfect'. In the image path the
-    reference feeds [image, h-flip] as the frame pair (appv3.py:5128-5195).
-    Returns 0.0 when cv2 is unavailable or fewer than 2 frames are given."""
+    """Over-regular camera-simulation score (device re-derivation of
+    appv3.py:2525-2566): exposure continuity (64-bin grayscale histogram
+    Bhattacharyya between consecutive frames) blended 55/45 with motion-blur
+    regularity (exp(-var) of dense-LK flow magnitude sampled at edge
+    pixels — ops/flow.exposure_blur_regularity). Higher = suspiciously
+    'too perfect'. In the image path the reference feeds [image, h-flip] as
+    the frame pair (appv3.py:5128-5195). Returns 0.0 for < 2 frames."""
     if frames_uint8 is None or len(frames_uint8) < 2:
         return 0.0
-    try:
-        import cv2
-    except Exception:
-        return 0.0
-    grays = [cv2.cvtColor(np.asarray(f), cv2.COLOR_RGB2GRAY)
-             for f in frames_uint8]
-    hists = []
-    for g in grays:
-        hist = cv2.calcHist([g], [0], None, [64], [0, 256])
-        hists.append(cv2.normalize(hist, hist).flatten())
-    diffs = [cv2.compareHist(hists[i], hists[i + 1],
-                             cv2.HISTCMP_BHATTACHARYYA)
-             for i in range(len(hists) - 1)]
-    exposure_perfection = 1.0 - float(np.mean(diffs))
-
-    blur_vals = []
-    for i in range(1, len(grays)):
-        flow = cv2.calcOpticalFlowFarneback(
-            grays[i - 1], grays[i], None, 0.5, 3, 15, 3, 5, 1.2, 0)
-        mag, _ = cv2.cartToPolar(flow[..., 0], flow[..., 1])
-        edges = cv2.Canny(grays[i], 100, 200)
-        blur_vals.extend(mag[edges > 0])
-    if len(blur_vals) > 50:
-        blur_regularity = float(np.exp(-np.var(np.asarray(blur_vals))))
-    else:
-        blur_regularity = 0.0
-    score = 0.55 * exposure_perfection + 0.45 * blur_regularity
+    from tpudf.ops.flow import exposure_blur_regularity
+    frames = np.stack([np.asarray(f) for f in frames_uint8]
+                      ).astype(np.float32) / 255.0
+    w = np.asarray([0.299, 0.587, 0.114], np.float32)
+    gray = frames @ w
+    t, h, wd = gray.shape
+    if h % 16 or wd % 16 or h < 32 or wd < 32:    # pyramid-friendly size
+        import jax
+        gray = np.asarray(jax.image.resize(
+            jnp.asarray(gray), (t, 256, 256), "bilinear"))
+    exposure, blur = exposure_blur_regularity(jnp.asarray(gray))
+    score = 0.55 * float(exposure) + 0.45 * float(blur)
     return float(np.clip(score, 0.0, 1.0))
 
 
@@ -349,7 +347,9 @@ def host_flow_signals(frames_uint8):
         a, b = grays[i], grays[i + 1]
         fwd = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 3, 15, 3, 5,
                                            1.2, 0)
-        warped = cv2.remap(a, gx + fwd[..., 0], gy + fwd[..., 1],
+        # backward warp: content at x in `b` came from x - flow(x) in `a`
+        # (cv2 flow is motion convention: a(x) appears at x + flow in b)
+        warped = cv2.remap(a, gx - fwd[..., 0], gy - fwd[..., 1],
                            cv2.INTER_LINEAR)
         reproj.append(float(np.mean(np.abs(
             warped.astype(np.float32) - b.astype(np.float32)))))

@@ -250,13 +250,22 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
     return out[:, :s] if sp != s else out
 
 
-def _reference_qkv(qkv, heads, head_dim, scale):
+def _reference_qkv(qkv, heads, head_dim, scale, logit_bias=None):
     b, s, w3 = qkv.shape
     w = w3 // 3
     q = qkv[..., :w].reshape(b, s, heads, head_dim)
     k = qkv[..., w:2 * w].reshape(b, s, heads, head_dim)
     v = qkv[..., 2 * w:].reshape(b, s, heads, head_dim)
-    o = _reference_bshd(q, k, v, scale)
+    if logit_bias is None:
+        o = _reference_bshd(q, k, v, scale)
+    else:
+        # per-key additive logit bias (ToMe proportional attention:
+        # logits += log token_size, ops/tome.py)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + logit_bias[:, None, None, :].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     return o.reshape(b, s, w)
 
 
@@ -349,12 +358,16 @@ def _fused_qkv_with_vjp(heads: int, head_dim: int, scale: float,
 
 
 def attention_qkv(qkv, heads, head_dim, scale=None, *, use_pallas=None,
-                  interpret=False):
+                  interpret=False, logit_bias=None):
     """Fused-QKV attention: (B, S, 3W) → (B, S, W).
 
     The kernel slices per-head columns in VMEM, which Mosaic only supports
     at lane-aligned offsets — head_dim must divide into (or be a multiple
-    of) the 128-lane tile (64 ✓, 128 ✓; so400m's 72 ✗ → XLA fallback)."""
+    of) the 128-lane tile (64 ✓, 128 ✓; so400m's 72 ✗ → XLA fallback).
+
+    logit_bias: optional (B, S) per-key additive logit bias (ToMe
+    proportional attention) — routed through the XLA path (the inference
+    hot path carries it inside the fused int8 kernels instead)."""
     scale = scale if scale is not None else head_dim ** -0.5
     if use_pallas is None:
         use_pallas = _on_tpu()
@@ -363,10 +376,10 @@ def attention_qkv(qkv, heads, head_dim, scale=None, *, use_pallas=None,
     # can never satisfy it, so they take the XLA path
     lane_ok = ((head_dim % 128 == 0) or (128 % head_dim == 0)) \
         and (qkv.shape[-1] // 3) % 128 == 0
-    if (use_pallas or interpret) and lane_ok:
+    if (use_pallas or interpret) and lane_ok and logit_bias is None:
         return _fused_qkv_with_vjp(int(heads), int(head_dim), float(scale),
                                    bool(interpret))(qkv)
-    return _reference_qkv(qkv, heads, head_dim, scale)
+    return _reference_qkv(qkv, heads, head_dim, scale, logit_bias)
 
 
 def _reference_bshd(q, k, v, scale):

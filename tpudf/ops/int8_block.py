@@ -113,8 +113,8 @@ def ln_qkv_int8(x, ln_params, wq_dict, bias, act_scale, eps=1e-6, *,
 
 # ---------------------------------------------------- K12 (fused sublayer)
 def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                          wout_ref, sout_ref, bout_ref, a_ref, o_ref, *,
-                          heads, head_dim, scale, eps):
+                          wout_ref, sout_ref, bout_ref, a_ref, ls_ref,
+                          o_ref, *, heads, head_dim, scale, eps):
     """One image per program: LN → quant → int8 QKV → attention → quant →
     int8 out-proj → residual, entirely in VMEM. The (S, 3Wa) QKV activation
     never exists in HBM — at batch 256 that deletes ~0.6 GB of traffic per
@@ -133,6 +133,7 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         + bqkv_ref[...]
     qkv = qkv.astype(jnp.bfloat16)                         # (S, 3Wa)
     wa = heads * head_dim
+    ls = ls_ref[0]                                         # (S,) f32 per-key
     outs = []
     for h in range(heads):
         lo = h * head_dim
@@ -141,6 +142,7 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         vh = qkv[:, 2 * wa + lo:2 * wa + lo + head_dim]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        s = s + ls[None, :]      # ToMe proportional attention (zeros if off)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -158,13 +160,16 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
 
 def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
                        a_qkv, a_out, heads, head_dim, eps=1e-6,
-                       scale=None, *, interpret=False):
+                       scale=None, *, logit_bias=None, interpret=False):
     """(B, S, W) → (B, S, W): the full attention sublayer as ONE kernel.
 
     qkv weights may carry lane-padded heads (columns = 3*heads*head_dim
     with head_dim already padded; out weight rows match). Falls back to
     ln_qkv_int8 + attn_out_int8 when the QKV weight or the in-VMEM QKV
-    activation would not fit (large geometries), or off-TPU."""
+    activation would not fit (large geometries), or off-TPU.
+
+    logit_bias: optional (B, S) f32 per-key additive attention-logit bias
+    (ToMe proportional attention, ops/tome.py); zeros when absent."""
     b, s, w = x.shape
     wa = heads * head_dim                    # attention width (>= w if padded)
     scale = scale if scale is not None else head_dim ** -0.5
@@ -178,6 +183,8 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
     if (_on_tpu() or interpret) and lane_ok and aligned and fits:
         a2 = jnp.stack([jnp.asarray(a_qkv, jnp.float32).reshape(()),
                         jnp.asarray(a_out, jnp.float32).reshape(())])
+        ls = (jnp.zeros((b, s), jnp.float32) if logit_bias is None
+              else logit_bias.astype(jnp.float32))
         kernel = functools.partial(
             _attn_sublayer_kernel, heads=heads, head_dim=head_dim,
             scale=scale, eps=float(eps))
@@ -195,6 +202,7 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((2,), lambda i: (0,)),
+                pl.BlockSpec((1, s), lambda i: (i, 0)),
             ],
             out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
@@ -204,11 +212,11 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
           qkv_wq["q"], qkv_wq["scale"].astype(jnp.float32),
           qkv_b.astype(jnp.float32),
           out_wq["q"], out_wq["scale"].astype(jnp.float32),
-          out_b.astype(jnp.float32), a2)
+          out_b.astype(jnp.float32), a2, ls)
     qkv = ln_qkv_int8(x, ln_params, qkv_wq, qkv_b, a_qkv, eps,
                       interpret=interpret)
     return attn_out_int8(qkv, x, out_wq, out_b, a_out, heads, head_dim,
-                         scale, interpret=interpret)
+                         scale, logit_bias=logit_bias, interpret=interpret)
 
 
 # ------------------------------------------------ K123 (whole-layer kernel)
@@ -361,13 +369,15 @@ def _attn_out_kernel(q_ref, k_ref, v_ref, x_ref, w_ref, s_ref, bias_ref,
     o_ref[0] = (x_ref[0].astype(jnp.float32) + proj).astype(o_ref.dtype)
 
 
-def _attn_out_reference(qkv, x, wq, ws, bias, a, heads, head_dim, scale):
+def _attn_out_reference(qkv, x, wq, ws, bias, a, heads, head_dim, scale,
+                        logit_bias=None):
     """Fallback when the fused kernel exceeds VMEM (so400m padded S=1024):
     the attention itself still goes through ops/attention.attention_qkv
     (Pallas on TPU with its own head-group tiling; XLA einsum elsewhere) —
     only the quant + int8 out-proj + residual run as plain XLA."""
     from tpudf.ops.attention import attention_qkv
-    o = attention_qkv(qkv, heads, head_dim, scale)       # (B, S, Wa)
+    o = attention_qkv(qkv, heads, head_dim, scale,
+                      logit_bias=logit_bias)             # (B, S, Wa)
     a = jnp.asarray(a, jnp.float32)
     q8 = _quant_rows(o.astype(jnp.float32), a)
     acc = jax.lax.dot_general(q8, wq, (((2,), (0,)), ((), ())),
@@ -377,7 +387,8 @@ def _attn_out_reference(qkv, x, wq, ws, bias, a, heads, head_dim, scale):
 
 
 def attn_out_int8(qkv, x, wq_dict, bias, act_scale, heads, head_dim,
-                  scale=None, *, q_block=256, interpret=False):
+                  scale=None, *, q_block=256, logit_bias=None,
+                  interpret=False):
     """(B, S, 3W) + residual (B, S, W) → (B, S, W).
 
     Fused-QKV attention with the int8 output projection and residual add in
@@ -401,9 +412,9 @@ def attn_out_int8(qkv, x, wq_dict, bias, act_scale, heads, head_dim,
     fits = (2 * (qb0 * wa * 2 + 2 * s * wa * 2 + qb0 * wm * 2)
             + wa * wm + qb0 * s * 4 + qb0 * wa * 4) <= 13 * 1024 * 1024
     if not ((_on_tpu() or interpret) and lane_ok and aligned and fits
-            and s % 8 == 0):
+            and s % 8 == 0) or logit_bias is not None:
         return _attn_out_reference(qkv, x, *args_ref, a, heads, head_dim,
-                                   scale)
+                                   scale, logit_bias)
     qb = min(q_block, s)
     sp = ((s + qb - 1) // qb) * qb
     qkv_p = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0))) if sp != s else qkv

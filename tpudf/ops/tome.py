@@ -1,0 +1,111 @@
+"""Token merging (ToMe) for the SigLIP tower — TPU-native formulation.
+
+Published technique: "Token Merging: Your ViT But Faster" (Bolya et al.,
+ICLR 2023) — progressively merge the r most similar token pairs per layer
+via bipartite soft matching. Off-the-shelf (no retraining) it trades <1%
+classification accuracy for ~1.5-2x ViT throughput; for the frozen-backbone
+deepfake heads the end-task effect is validated by tests
+(tests/test_tome.py AUC-delta) rather than assumed.
+
+TPU-first design decisions (vs the reference CUDA/torch world, where ToMe
+uses gather/scatter):
+  * The merge is ONE one-hot matmul on the MXU: every token gets a
+    destination row, x' = onehot(assign)^T @ (x * size) row-normalized.
+    No scatter (serial on TPU), no dynamic shapes — r is static per layer,
+    so every layer's token count is a compile-time constant.
+  * Similarity uses the post-block features (merge-between-layers), keeping
+    the fused int8 block kernels (ops/int8_block.py) untouched; they simply
+    see a smaller static S each layer.
+  * Proportional attention (softmax logits += log size_k, ToMe §3) is
+    carried as an additive row bias into the attention kernels.
+
+The reference has no counterpart (its ViT calls are stock open_clip,
+appv3.py:1223); this is a pure speed lever for the >=5x/chip target.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def merge_schedule(n_tokens: int, layers: int, r: int,
+                   min_tokens: int = 64) -> tuple[int, ...]:
+    """Per-gap merge counts: r tokens merged after each of the first
+    layers-1 blocks (never after the last — nothing downstream to save),
+    clipped so the token count never drops below min_tokens and stays
+    lane-friendly (multiples of 8)."""
+    rs = []
+    t = n_tokens
+    for _ in range(max(0, layers - 1)):
+        ri = min(r, max(0, t - min_tokens))
+        ri -= ri % 8                     # keep S % 8 == 0 for the kernels
+        rs.append(ri)
+        t -= ri
+    return tuple(rs)
+
+
+def merge_step(x, sizes, r: int):
+    """One bipartite-soft-matching merge: (B, S, W), (B, S) → (B, S-r, W),
+    (B, S-r).
+
+    Tokens at even positions form set A, odd positions set B. Each A token
+    is matched to its most similar B token (cosine over features); the r
+    best-matched A tokens are averaged (size-weighted) into their partners.
+    Surviving order: all B tokens first, then kept A tokens in position
+    order (static shapes; pooled MAP head is order-invariant).
+    """
+    b, s, w = x.shape
+    if r <= 0:
+        return x, sizes
+    half = s // 2
+    sp = s - r                                   # tokens after merge
+    xa, xb = x[:, 0::2], x[:, 1::2]              # (B, half(+1), W)
+    ha = xa.shape[1]
+    f32 = jnp.float32
+
+    xn = x.astype(f32)
+    xn = xn / (jnp.linalg.norm(xn, axis=-1, keepdims=True) + 1e-6)
+    na, nb = xn[:, 0::2], xn[:, 1::2]
+    sim = jnp.einsum("bif,bjf->bij", na, nb)     # (B, ha, hb)
+    node_max = jnp.max(sim, axis=-1)             # (B, ha)
+    node_idx = jnp.argmax(sim, axis=-1)          # (B, ha) partner in B
+
+    # r most-similar A tokens get merged
+    _, top_idx = jax.lax.top_k(node_max, r)      # (B, r)
+    merged = jnp.sum(jax.nn.one_hot(top_idx, ha, dtype=f32), axis=1) > 0.5
+
+    # destination row for every original token:
+    #   B token j           -> row j                     (rows 0..hb-1)
+    #   merged A token i    -> row node_idx[i]
+    #   kept A token i      -> row hb + rank_among_kept(i)
+    hb = s - ha
+    kept = ~merged                                        # (B, ha)
+    rank = jnp.cumsum(kept.astype(jnp.int32), axis=-1) - 1
+    row_a = jnp.where(merged, node_idx, hb + rank)        # (B, ha)
+    row_b = jnp.broadcast_to(jnp.arange(hb), (b, hb))
+    if ha == hb:                                          # even S (all real
+        # interleave by stack+reshape — no scatter        #  tower geometries)
+        assign = jnp.stack([row_a, row_b], axis=2).reshape(b, s)
+    else:
+        assign = jnp.zeros((b, s), jnp.int32)
+        assign = assign.at[:, 0::2].set(row_a)
+        assign = assign.at[:, 1::2].set(row_b)
+
+    # one-hot merge matrix applied as a single MXU matmul (no scatter):
+    # columns = original tokens, rows = surviving tokens
+    onehot = (assign[:, :, None] ==
+              jnp.arange(sp)[None, None, :]).astype(x.dtype)   # (B, S, S')
+    sz = sizes.astype(x.dtype)
+    num = jnp.einsum("bsp,bsw->bpw", onehot, x * sz[..., None],
+                     preferred_element_type=f32)
+    den = jnp.einsum("bsp,bs->bp", onehot, sz,
+                     preferred_element_type=f32)
+    x_out = (num / den[..., None]).astype(x.dtype)
+    return x_out, den
+
+
+def apply_tome(x, sizes, r: int):
+    """merge_step wrapper used by models/siglip.py (kept separate so the
+    schedule logic can evolve without touching the tower)."""
+    return merge_step(x, sizes, r)

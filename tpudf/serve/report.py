@@ -396,9 +396,15 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
                               + 1e-6)
         except Exception:
             pass
-        signals = {k: float(v) for k, v in
-                   compute_temporal_signals(x, embeds).items()}
+        # device graph includes the dense-LK flow family (ops/flow.py);
+        # NaN marks reference-gated signals (e.g. parallax when static)
+        for k, v in compute_temporal_signals(x, embeds).items():
+            f = float(v)
+            if f == f:
+                signals[k] = f
         if flow_signals:
+            # optional host-cv2 flow battery (legacy cross-check; overrides
+            # the device values where it produces a signal)
             signals.update(host_flow_signals(list(frames_uint8)))
 
         # face temporal drift family (appv3.py:3557-3755) — 22% of the
