@@ -54,3 +54,45 @@ def test_batched():
         head_delta=jnp.asarray([0.0, 0.0]))
     assert p.shape == (2,)
     assert float(p[0]) > float(p[1])
+
+
+def test_bayes_calibration_isotonic_and_logistic():
+    """Calibration hooks (appv3.py:948-975): isotonic recalibration of a
+    systematically-biased cue must move the fused posterior toward labels;
+    roundtrips through JSON."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudf.fuse.bayesian import (BayesCalibration, bayesian_fuse_v2,
+                                     fit_bayes_calibration)
+
+    rng = np.random.default_rng(0)
+    n = 400
+    y = (rng.random(n) > 0.5).astype(np.float64)
+    # 'visual' cue is informative but squashed into [0.45, 0.55] — raw
+    # log-odds barely move; isotonic should stretch it
+    visual = 0.45 + 0.1 * (0.7 * y + 0.3 * rng.random(n))
+    feats = {"visual": visual}
+    cal = fit_bayes_calibration(feats, y, mode="isotonic")
+    assert "visual" in cal.iso
+
+    fused_raw = bayesian_fuse_v2({"visual": jnp.asarray(visual)})
+    fused_cal = bayesian_fuse_v2({"visual": jnp.asarray(visual)},
+                                 calibration=cal)
+    sep = lambda p: float(np.mean(np.asarray(p)[y == 1])
+                          - np.mean(np.asarray(p)[y == 0]))
+    assert sep(fused_cal["posterior_fake"]) > sep(fused_raw["posterior_fake"])
+
+    # JSON roundtrip preserves behavior
+    cal2 = BayesCalibration.from_json(cal.to_json())
+    fused_rt = bayesian_fuse_v2({"visual": jnp.asarray(visual)},
+                                calibration=cal2)
+    np.testing.assert_allclose(np.asarray(fused_rt["posterior_fake"]),
+                               np.asarray(fused_cal["posterior_fake"]),
+                               atol=1e-6)
+
+    # logistic mode learns signed weights + exposes logistic_posterior
+    call = fit_bayes_calibration(feats, y, mode="logistic")
+    fused_lg = bayesian_fuse_v2({"visual": jnp.asarray(visual)},
+                                calibration=call)
+    assert "logistic_posterior" in fused_lg
+    assert sep(fused_lg["logistic_posterior"]) > 0.15

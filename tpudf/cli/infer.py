@@ -107,8 +107,15 @@ def build_engine(args, calib_uint8=None):
             cut_path, temp_path if os.path.exists(temp_path) else None)
     else:
         cuts = CoralCutpoints.default()
+    bayes_cal = None
+    bc_path = art and os.path.join(art, "bayes_calibration.json")
+    if bc_path and os.path.exists(bc_path):
+        from tpudf.fuse.bayesian import BayesCalibration
+        with open(bc_path) as f:
+            bayes_cal = BayesCalibration.from_json(json.load(f))
     eng = DetectEngine(cfg=cfg, backbone=backbone, head=head, freq=freq,
-                       fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY)
+                       fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY,
+                       bayes_calibration=bayes_cal)
     if getattr(args, "int8", False):
         # calibrate activation scales on the actual inputs when available
         # (synthetic-noise amax need not bound real-image activations)

@@ -10,14 +10,22 @@ JAX re-implementations of the reference fusers (appv3.py:932-1094), batched:
 
 Both take a dict of (B,)-shaped cue probabilities; missing cues default to
 the neutral 0.5 (same semantics as the reference's fill-in).
+
+Calibration hooks (appv3.py:948-975): `fit_bayes_calibration` fits either
+per-feature isotonic maps (applied inside bayesian_fuse_v2 before the
+log-odds sum, like the reference's calibrate=True path) or a logistic
+model over the 7-feature vector (the reference fits this but never applies
+it inside fuse(); we additionally expose it as `logistic_posterior`).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 FEATURES = ("visual", "freq", "forensic", "cfa", "jpeg", "prnu", "patch")
 
@@ -47,10 +55,82 @@ def _gather(features, batch_shape):
     return jnp.stack(cols, axis=-1)
 
 
-def bayesian_fuse_v2(features: dict, prior_fake=0.5):
+@dataclasses.dataclass
+class BayesCalibration:
+    """Fitted recalibration for bayesian_fuse_v2 (appv3.py:948-975).
+
+    iso:      {feature: (x_fit, y_fit)} isotonic maps, applied per feature
+              before the log-odds sum (jnp.interp — stays jittable)
+    logistic: (w (7,), b) over the 7-feature vector; optional extra output
+    """
+    iso: dict | None = None
+    logistic: tuple | None = None
+
+    def to_json(self):
+        out = {}
+        if self.iso:
+            out["iso"] = {k: [np.asarray(x).tolist(), np.asarray(y).tolist()]
+                          for k, (x, y) in self.iso.items()}
+        if self.logistic:
+            w, b = self.logistic
+            out["logistic"] = {"w": np.asarray(w).tolist(), "b": float(b)}
+        return out
+
+    @classmethod
+    def from_json(cls, d):
+        iso = {k: (np.asarray(x), np.asarray(y))
+               for k, (x, y) in d.get("iso", {}).items()} or None
+        lg = d.get("logistic")
+        logistic = (np.asarray(lg["w"]), float(lg["b"])) if lg else None
+        return cls(iso=iso, logistic=logistic)
+
+
+def fit_bayes_calibration(features: dict, labels, mode="isotonic",
+                          iters=1500, lr=2.0) -> BayesCalibration:
+    """Fit the optional recalibration from held-out cue probabilities.
+
+    features: dict of (N,) arrays (any subset of FEATURES), labels: (N,)
+    0=real / 1=fake. mode: "isotonic" (per-feature, the reference's
+    calibrate=True) or "logistic" (joint 7-feature model)."""
+    from tpudf.eval.stats import isotonic_fit
+    y = np.asarray(labels, np.float64)
+    if mode == "isotonic":
+        iso = {}
+        for name in FEATURES:
+            if name in features and features[name] is not None:
+                iso[name] = isotonic_fit(
+                    np.asarray(features[name], np.float64), y)
+        return BayesCalibration(iso=iso)
+    if mode == "logistic":
+        x = np.column_stack([
+            np.asarray(features.get(name, np.full_like(y, 0.5)), np.float64)
+            for name in FEATURES])
+        w = np.zeros(len(FEATURES))
+        b = 0.0
+        for _ in range(iters):
+            p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+            g = p - y
+            w -= lr * (x.T @ g) / len(y)
+            b -= lr * float(np.mean(g))
+        return BayesCalibration(logistic=(w, b))
+    raise ValueError(f"unknown calibration mode {mode!r}")
+
+
+def bayesian_fuse_v2(features: dict, prior_fake=0.5,
+                     calibration: BayesCalibration | None = None):
     """features: dict of (B,) probabilities → dict of (B,) outputs."""
     some = next(iter(features.values()))
     p = jnp.clip(_gather(features, jnp.shape(some)), _EPS, 1 - _EPS)
+    if calibration is not None and calibration.iso:
+        cols = []
+        for i, name in enumerate(FEATURES):
+            col = p[..., i]
+            if name in calibration.iso:
+                xf, yf = calibration.iso[name]
+                col = jnp.interp(col, jnp.asarray(xf, jnp.float32),
+                                 jnp.asarray(yf, jnp.float32))
+            cols.append(col)
+        p = jnp.clip(jnp.stack(cols, axis=-1), _EPS, 1 - _EPS)
     w = jnp.asarray([RELIABILITY[k] for k in FEATURES])
     log_terms = jnp.clip(w * jnp.log(p / (1 - p)), -2.0, 2.0)
     log_odds = jnp.sum(log_terms, axis=-1)
@@ -68,7 +148,7 @@ def bayesian_fuse_v2(features: dict, prior_fake=0.5):
     certainty = jnp.clip(
         agreement * (0.5 + jnp.abs(0.5 - posterior) * 2.0), 0.0, 1.0)
 
-    return {
+    out = {
         "posterior_fake": posterior,
         "posterior_real": 1.0 - posterior,
         "certainty": certainty,
@@ -76,6 +156,11 @@ def bayesian_fuse_v2(features: dict, prior_fake=0.5):
         "mean_prob": mean_p,
         "std_prob": std_p,
     }
+    if calibration is not None and calibration.logistic is not None:
+        lw, lb = calibration.logistic
+        out["logistic_posterior"] = jax.nn.sigmoid(
+            p @ jnp.asarray(lw, jnp.float32) + float(lb))
+    return out
 
 
 def dirichlet_fuse(features: dict, base_strength=3.0):

@@ -109,8 +109,12 @@ class DetectEngine:
     #              the embedding anomaly (mean_real_embedding.npy, ref :3504)
     #   gbdt:      models.fusion.TreeEnsemble — XGBoost fusion override
     #              (+Platt) applied by serve/report.py (ref :5507-5578)
+    #   bayes_calibration: fuse.bayesian.BayesCalibration — optional
+    #              isotonic/logistic recalibration of bayesian_fuse_v2
+    #              (appv3.py:948-975); load from bayes_calibration.json
     mean_real: Any = None
     gbdt: Any = None
+    bayes_calibration: Any = None
 
     def __post_init__(self):
         self._detect = jax.jit(functools.partial(

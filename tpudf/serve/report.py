@@ -184,7 +184,7 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
         "jpeg": jnp.asarray(fb["jpeg_q_mismatch"]),
         "prnu": jnp.asarray(1.0 - np.clip(fb["prnu_strength"] / 0.8, 0, 1)),
         "patch": jnp.asarray(patch_mean),
-    }))
+    }, calibration=getattr(engine, "bayes_calibration", None)))
     diri = jax.tree.map(np.asarray, dirichlet_fuse({
         "visual": jnp.asarray(visual),
         "freq": jnp.asarray(freq),
