@@ -1,0 +1,99 @@
+"""Serving-UI smoke tests (build_predict_fns + pure render helpers) —
+no gradio needed; catches signature drift the r2 verdict flagged."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from tpudf.calib.coral import CoralCutpoints
+from tpudf.models.freq_mlp import init_freq_mlp
+from tpudf.models.fusion import init_fusion_linear
+from tpudf.models.heads import init_binary_head
+from tpudf.models.siglip import CONFIGS, init_siglip
+from tpudf.serve.app import (build_predict_fns, forensic_panel_image,
+                             frames_timeline_html, gauge_html,
+                             jitter_collage, metrics_html,
+                             report_json_file, verdict_html)
+from tpudf.serve.engine import DetectEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = CONFIGS["test-32"]
+    k = jax.random.split(jax.random.key(0), 4)
+    return DetectEngine(cfg=cfg, backbone=init_siglip(k[0], cfg),
+                        head=init_binary_head(k[1], cfg.width),
+                        freq=init_freq_mlp(k[2]),
+                        fusion=init_fusion_linear(k[3]),
+                        cuts=CoralCutpoints.default())
+
+
+def test_render_helpers():
+    rep = {"final_label": "FAKE", "final_prob": 0.87, "band_text": "HIGH",
+           "visual_prob": 0.9, "freq_prob": 0.6, "sora_likelihood": 0.2}
+    vh = verdict_html(rep)
+    assert "FAKE" in vh and "87.0%" in vh and "#ef4444" in vh
+    gh = gauge_html(0.87)
+    assert "87.0%" in gh
+    mh = metrics_html(rep)
+    assert "SigLIP visual" in mh and "0.900" in mh
+    tl = frames_timeline_html([0.1, 0.5, 0.9])
+    assert tl.count("frame") == 3
+    path = report_json_file(rep)
+    try:
+        assert json.load(open(path))["final_label"] == "FAKE"
+    finally:
+        os.unlink(path)
+
+
+def test_panel_and_collage_shapes():
+    px = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(
+        np.uint8)
+    panel = forensic_panel_image(px)
+    assert panel.ndim == 3 and panel.shape[2] == 3
+    assert panel.shape[0] > 700 and panel.shape[1] > 700   # 3x3 of 256px
+    collage = jitter_collage(px, n=3)
+    assert collage.shape == (64, 64 * 3, 3)
+
+
+def test_predict_image_fn(engine):
+    from PIL import Image
+    predict_image, _ = build_predict_fns(engine)
+    img = Image.fromarray((np.random.default_rng(1).random((48, 48, 3))
+                           * 255).astype(np.uint8))
+    (vh, gh, mh, expl, overlay, panel, jit_img, js,
+     json_path) = predict_image(img)
+    assert "P(fake)" in vh and isinstance(expl, str)
+    assert overlay.ndim == 3 and panel.ndim == 3 and jit_img.ndim == 3
+    rep = json.loads(js)
+    assert "final_label" in rep and "final_prob" in rep
+    try:
+        assert json.load(open(json_path))["final_label"] == \
+            rep["final_label"]
+    finally:
+        os.unlink(json_path)
+
+
+def test_predict_clip_fn(engine, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    predict_image, predict_clip = build_predict_fns(engine)
+    path = str(tmp_path / "clip.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 8, (48, 48))
+    rng = np.random.default_rng(2)
+    base = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    for i in range(16):
+        frame = np.clip(base.astype(int) + rng.integers(-9, 9, base.shape),
+                        0, 255).astype(np.uint8)
+        wr.write(frame[:, :, ::-1])
+    wr.release()
+    (vh, gh, mh, tl, expl, key_frame, rows, gallery, js,
+     json_path) = predict_clip(path)
+    assert "P(fake)" in vh
+    assert len(rows) >= 3 and len(rows[0]) == 3
+    assert len(gallery) == len(rows)
+    rep = json.loads(js)
+    assert "video_label" in rep
+    os.unlink(json_path)

@@ -159,3 +159,18 @@ def test_sharded_detect_core_quantized(mesh8):
         np.testing.assert_allclose(np.asarray(out[key]),
                                    np.asarray(ref[key]),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_tp_large_geometry_matches_replicated(mesh8):
+    """TP sharding at the REAL large-384 width (W=1024, 16 heads) — catches
+    layout/collective bugs that small test widths cannot (r2 verdict). Input
+    resolution reduced (tokens don't change the sharding surface)."""
+    cfg = CONFIGS["large-384"]
+    bb = init_siglip(jax.random.key(9), cfg)
+    px = np.random.default_rng(9).random((4, 96, 96, 3)).astype(np.float32)
+    run_tp = sharded_siglip_features(mesh8, bb, cfg, F32_POLICY,
+                                     tensor_parallel=True)
+    out = run_tp(batch=px)
+    ref = np.asarray(siglip_forward(bb, jnp.asarray(px), cfg,
+                                    F32_POLICY)["pooled"])
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
