@@ -1,21 +1,187 @@
-"""Face-region detection + escalation (host plugin).
+"""Face pipeline: landmark detection + drift signals + escalation.
 
 The reference uses insightface (ONNXRuntime C++) for face detection /
-landmarks / ArcFace embeddings (appv3.py:67-90, 3557-3755), gated on
-availability. tpudf treats faces the same way — a host-side plugin:
-  * detect_faces: OpenCV Haar cascade (bundled with cv2) → boxes
-  * face_crop: largest face, margin-expanded square crop for the expert
-    stack (appv3.py:5450-5452 face escalation path)
-  * face_region_retouch_score: perlin + HF-flatness score of the face crop
+5-pt landmarks / ArcFace embeddings (appv3.py:67-90, 3557-3755). tpudf's
+primary path is the JAX landmark network (models/face_landmark.py — a
+BlazeFace-style net; pretrain with `python -m tpudf.cli.face_pretrain` or
+point TPUDF_FACE_CKPT at saved weights), with two fallbacks:
+  * detect_faces / face_crop: OpenCV Haar cascade boxes (no landmarks)
+  * box-geometry drift vectors when no landmark net is available
+
+Signals (appv3.py:3557-3755 family):
+  * face_topology_drift — normalized 5-pt pairwise-distance vector drift
+    (landmark path) or box aspect/position/size drift (Haar fallback)
+  * face_track_drift — 0.6 x embedding drift + 0.4 x geometry drift over
+    the dominant face track
+  * face_embedding_drift — tower-embedding drift over landmark-aligned
+    (or Haar) face crops, the ArcFace-drift substitute
+  * face_region_retouch_score — perlin + HF-flatness of the face crop
     (appv3.py:2496-2503)
-  * face_embedding_drift: SigLIP-embedding drift over per-frame face crops,
-    the substitute for ArcFace drift (appv3.py:3557-3755 family)
-Returns empty results when cv2 is unavailable.
+All signal functions take an optional `lm_params` (the landmark net's
+params); None selects the fallback path. Returns None when no face.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+_DEFAULT_CACHE = os.path.expanduser("~/.cache/tpudf/face_landmarks.npz")
+
+
+_PACKAGED_ASSET = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "face_landmarks.npz")
+
+
+def get_landmark_params(allow_train: bool | None = None):
+    """Load (or lazily pretrain + cache) the landmark net's params.
+
+    Resolution order: $TPUDF_FACE_CKPT → ~/.cache/tpudf/face_landmarks.npz
+    → the packaged asset (tpudf/assets/face_landmarks.npz, produced by
+    `python -m tpudf.cli.face_pretrain`) → (if allow_train, or
+    $TPUDF_FACE_TRAIN=1) synthetic pretraining
+    (models/face_landmark.train_landmark_net, deterministic) cached to
+    disk → None (callers fall back to Haar box geometry)."""
+    from tpudf.models.face_landmark import (load_landmark_net,
+                                            train_landmark_net,
+                                            save_landmark_net)
+    path = os.environ.get("TPUDF_FACE_CKPT", "")
+    if path and os.path.exists(path):
+        return load_landmark_net(path)
+    if os.path.exists(_DEFAULT_CACHE):
+        try:
+            return load_landmark_net(_DEFAULT_CACHE)
+        except ValueError:          # stale format: retrain below if allowed
+            os.remove(_DEFAULT_CACHE)
+    if os.path.exists(_PACKAGED_ASSET):
+        try:
+            return load_landmark_net(_PACKAGED_ASSET)
+        except ValueError:
+            pass                    # stale packaged format: retrain below
+    if allow_train is None:
+        allow_train = os.environ.get("TPUDF_FACE_TRAIN", "") == "1"
+    if not allow_train:
+        return None
+    params = train_landmark_net(steps=int(os.environ.get(
+        "TPUDF_FACE_TRAIN_STEPS", "1500")))
+    os.makedirs(os.path.dirname(_DEFAULT_CACHE), exist_ok=True)
+    save_landmark_net(params, _DEFAULT_CACHE)
+    return params
+
+
+def detect_landmarks_batch(frames_rgb_uint8, lm_params, *,
+                           presence_thresh=0.0):
+    """(T, H, W, 3) uint8 → (landmarks (T,5,2) in image pixels or None per
+    frame, boxes (T,4) normalized). One jitted batch call at 64px, with a
+    second refinement pass on the predicted face crop."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpudf.models.face_landmark import landmark_forward
+
+    frames = np.asarray(frames_rgb_uint8)
+    t, h, w = frames.shape[:3]
+    x = jnp.asarray(frames, jnp.float32) / 255.0
+    x64 = jax.image.resize(x, (t, 64, 64, 3), "bilinear")
+    out = landmark_forward(lm_params, x64)
+    pres = np.asarray(out["presence"])
+    boxes = np.asarray(out["box"])                     # (T,4) cx,cy,w,h
+    lms = np.asarray(out["landmarks"])                 # (T,5,2) normalized
+
+    # refinement: re-run on the 1.6x face crop for sub-pixel precision
+    crops, metas = [], []
+    for i in range(t):
+        if pres[i] <= presence_thresh:
+            metas.append(None)
+            continue
+        cx, cy, bw, bh = boxes[i]
+        s = max(bw, bh) * 1.6
+        x0 = float(np.clip(cx - s / 2, 0, 1 - 1e-3))
+        y0 = float(np.clip(cy - s / 2, 0, 1 - 1e-3))
+        x1 = float(np.clip(cx + s / 2, x0 + 1e-3, 1))
+        y1 = float(np.clip(cy + s / 2, y0 + 1e-3, 1))
+        px0, py0 = int(x0 * w), int(y0 * h)
+        px1, py1 = max(int(x1 * w), px0 + 2), max(int(y1 * h), py0 + 2)
+        crop = frames[i, py0:py1, px0:px1]
+        crops.append(np.asarray(jax.image.resize(
+            jnp.asarray(crop, jnp.float32) / 255.0, (64, 64, 3),
+            "bilinear")))
+        metas.append((px0, py0, px1 - px0, py1 - py0, i))
+    if crops:
+        ref = landmark_forward(lm_params, jnp.stack(crops))
+        rl = np.asarray(ref["landmarks"])
+        rp = np.asarray(ref["presence"])
+    result = [None] * t
+    j = 0
+    for meta in metas:
+        if meta is None:
+            continue
+        px0, py0, cw, ch, i = meta
+        if rp[j] > presence_thresh:
+            result[i] = rl[j] * np.asarray([cw, ch]) + np.asarray([px0, py0])
+        else:                                  # refinement lost it: coarse
+            result[i] = lms[i] * np.asarray([w, h])
+        j += 1
+    return result, boxes
+
+
+def landmark_topology_vec(lms_px, box_px=None):
+    """(5,2) landmark pixels → the reference's 4-d face-geometry signature
+    (appv3.py:3581-3591): [eye_dist/bw, mouth_dist/bw, eye_to_mouth/bh,
+    nose_to_eye/bh]. box_px = (bw, bh); derived from the landmark extent
+    when absent."""
+    if box_px is None:
+        span = lms_px.max(0) - lms_px.min(0)
+        bw = max(float(span[0]) * 1.6, 1.0)
+        bh = max(float(span[1]) * 1.6, 1.0)
+    else:
+        bw = max(float(box_px[0]), 1.0)
+        bh = max(float(box_px[1]), 1.0)
+    eye_dist = float(np.linalg.norm(lms_px[0] - lms_px[1])) / bw
+    mouth_dist = float(np.linalg.norm(lms_px[3] - lms_px[4])) / bw
+    eye_center = (lms_px[0] + lms_px[1]) * 0.5
+    mouth_center = (lms_px[3] + lms_px[4]) * 0.5
+    eye_to_mouth = abs(float(mouth_center[1] - eye_center[1])) / bh
+    nose_to_eye = abs(float(lms_px[2][1] - eye_center[1])) / bh
+    return np.asarray([eye_dist, mouth_dist, eye_to_mouth, nose_to_eye],
+                      np.float32)
+
+
+def _median3(vecs):
+    """3-tap median filter along time per dimension — suppresses the
+    landmark net's per-frame jitter (the reference's insightface detector
+    is sub-pixel; ours trades that for a denoise step) while a persistent
+    identity-swap step survives."""
+    v = np.asarray(vecs)
+    if len(v) < 3:
+        return v
+    pad = np.concatenate([v[:1], v, v[-1:]], axis=0)
+    return np.median(np.stack([pad[:-2], pad[1:-1], pad[2:]]), axis=0)
+
+
+def face_crop_from_landmarks(image_rgb_uint8, lms_px, margin=1.3,
+                             out_size=None):
+    """Landmark-aligned square crop centered on the landmark centroid with
+    size proportional to the eye-mouth span."""
+    arr = np.asarray(image_rgb_uint8)
+    h, w = arr.shape[:2]
+    c = lms_px.mean(0)
+    span = max(float(np.linalg.norm(lms_px[0] - lms_px[4])),
+               float(np.linalg.norm(lms_px[1] - lms_px[3])), 8.0)
+    s = span * 2.0 * margin
+    x0 = int(np.clip(c[0] - s / 2, 0, w - 2))
+    y0 = int(np.clip(c[1] - s / 2, 0, h - 2))
+    x1 = int(np.clip(c[0] + s / 2, x0 + 1, w))
+    y1 = int(np.clip(c[1] + s / 2, y0 + 1, h))
+    crop = arr[y0:y1, x0:x1]
+    if out_size is not None:
+        import jax
+        import jax.numpy as jnp
+        crop = np.asarray(jax.image.resize(
+            jnp.asarray(crop, jnp.float32), (out_size, out_size, 3),
+            "bilinear")).astype(np.uint8)
+    return crop
 
 
 def _cascade():
@@ -85,11 +251,43 @@ def _box_geometry_vec(box, frame_shape):
                        np.sqrt(w * h) / np.sqrt(H * W)], np.float32)
 
 
-def face_topology_drift(frames_rgb_uint8):
-    """Per-frame face-geometry drift (appv3.py:3557-3605). The reference
-    normalizes 5-pt landmark distances by the bbox; the Haar substitute
-    tracks the largest box's aspect/position/size vector. Same drift map:
-    clip((mean ||v_t - v_{t+1}|| - 0.03) / 0.12, 0, 1). None if < 3 faces."""
+def _clip_landmarks(frames_rgb_uint8, lm_params):
+    """(landmarks per frame, face boxes (T,2) pixel (bw, bh)) for a clip,
+    or (None, None) when the net is unavailable / finds fewer than 3
+    faces. Box sizes come from the net's box head — the reference
+    normalizes its geometry ratios by the DETECTION box, not the landmark
+    extent (appv3.py:3581-3591); landmark-extent normalization makes
+    eye_dist/bw and eye_to_mouth/bh constant by construction."""
+    if lm_params is None:
+        return None, None
+    frames = np.stack([np.asarray(f) for f in frames_rgb_uint8])
+    h, w = frames.shape[1:3]
+    lms, boxes = detect_landmarks_batch(frames, lm_params)
+    found = [l for l in lms if l is not None]
+    if len(found) < 3:
+        return None, None
+    box_px = np.stack([boxes[:, 2] * w, boxes[:, 3] * h], axis=1)
+    return lms, box_px
+
+
+def face_topology_drift(frames_rgb_uint8, lm_params=None):
+    """Per-frame face-geometry drift (appv3.py:3557-3605).
+
+    Landmark path (primary): drift of the inter-ocular-normalized 10-d
+    pairwise-distance vector of the 5 landmarks — a real face-geometry
+    signature (face swaps change eye/mouth proportions even when the box
+    is stable). Haar fallback: largest-box aspect/position/size vector.
+    Same drift map: clip((mean step - lo) / span, 0, 1). None if < 3
+    faces."""
+    lms, box_px = _clip_landmarks(frames_rgb_uint8, lm_params)
+    if lms is not None:
+        vecs = _median3([landmark_topology_vec(l, box_px=b)
+                         for l, b in zip(lms, box_px) if l is not None])
+        diffs = [float(np.linalg.norm(vecs[i] - vecs[i + 1]))
+                 for i in range(len(vecs) - 1)]
+        drift = float(np.mean(diffs))
+        # same drift map as the reference (appv3.py:3600-3605)
+        return float(np.clip((drift - 0.03) / 0.12, 0.0, 1.0))
     vecs = []
     for f in frames_rgb_uint8:
         boxes = detect_faces(np.asarray(f))
@@ -105,12 +303,23 @@ def face_topology_drift(frames_rgb_uint8):
     return float(np.clip((drift - 0.03) / 0.12, 0.0, 1.0))
 
 
-def face_track_drift(frames_rgb_uint8, embed_fn):
-    """Dominant-face track drift (appv3.py:3650-3755): 0.6 x embedding
-    drift + 0.4 x geometry drift over IoU-tracked largest-face crops.
-    Haar boxes carry no identity, so the track is greedy largest-box; the
-    embedding stream uses `embed_fn` (the engine tower) on 112px crops."""
-    geom, crops = [], []
+def _dominant_crops(frames_rgb_uint8, lm_params, out_size=112):
+    """(crops list, geometry-vector list) for the dominant face track —
+    landmark-aligned when the net is available, Haar otherwise."""
+    lms, _ = _clip_landmarks(frames_rgb_uint8, lm_params)
+    crops, geom = [], []
+    if lms is not None:
+        for f, l in zip(frames_rgb_uint8, lms):
+            if l is None:
+                continue
+            crops.append(face_crop_from_landmarks(f, l, out_size=out_size))
+            arr = np.asarray(f)
+            c = l.mean(0)
+            iod = float(np.linalg.norm(l[0] - l[1]))
+            geom.append(np.asarray(
+                [c[0] / arr.shape[1], c[1] / arr.shape[0],
+                 iod / arr.shape[1]], np.float32))
+        return crops, geom
     for f in frames_rgb_uint8:
         arr = np.asarray(f)
         boxes = detect_faces(arr)
@@ -118,9 +327,19 @@ def face_track_drift(frames_rgb_uint8, embed_fn):
             continue
         box = max(boxes, key=lambda b: b[2] * b[3])
         geom.append(_box_geometry_vec(box, arr.shape))
-        c = face_crop(arr, out_size=112)
+        c = face_crop(arr, out_size=out_size)
         if c is not None:
             crops.append(c)
+    return crops, geom
+
+
+def face_track_drift(frames_rgb_uint8, embed_fn, lm_params=None):
+    """Dominant-face track drift (appv3.py:3650-3755): 0.6 x embedding
+    drift + 0.4 x geometry drift over the dominant face track
+    (landmark-centered when the net is available; greedy largest Haar box
+    otherwise). The embedding stream uses `embed_fn` (the engine tower) on
+    112px aligned crops."""
+    crops, geom = _dominant_crops(frames_rgb_uint8, lm_params)
     scores = []
     if len(crops) >= 3 and embed_fn is not None:
         emb = np.asarray(embed_fn(np.stack(crops)))
@@ -139,14 +358,12 @@ def face_track_drift(frames_rgb_uint8, embed_fn):
     return float(sum(v * w for v, w in scores) / tw)
 
 
-def face_embedding_drift(frames_rgb_uint8, embed_fn):
+def face_embedding_drift(frames_rgb_uint8, embed_fn, lm_params=None):
     """Per-frame face-crop embedding drift (ArcFace-drift substitute).
+    Crops are landmark-aligned when the net is available — alignment makes
+    the embedding stream track identity rather than head pose.
     embed_fn(batch_uint8 (N,S,S,3)) → (N, D) L2-normalized embeddings."""
-    crops = []
-    for f in frames_rgb_uint8:
-        c = face_crop(f, out_size=112)
-        if c is not None:
-            crops.append(c)
+    crops, _ = _dominant_crops(frames_rgb_uint8, lm_params)
     if len(crops) < 3:
         return None
     emb = np.asarray(embed_fn(np.stack(crops)))

@@ -422,15 +422,24 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
                 engine.backbone, normalize_siglip(xs), engine.cfg,
                 engine.policy)["pooled"])
 
+        # landmark net (models/face_landmark.py) if cached/provided;
+        # None → Haar box-geometry fallback inside each signal
+        try:
+            lm_params = face_mod.get_landmark_params()
+        except Exception:
+            lm_params = None
         for key, compute in (
                 ("face_topology_drift",
-                 lambda: face_mod.face_topology_drift(list(frames_uint8))),
+                 lambda: face_mod.face_topology_drift(
+                     list(frames_uint8), lm_params=lm_params)),
                 ("face_embedding_drift",
                  lambda: face_mod.face_embedding_drift(
-                     list(frames_uint8), _face_embed_fn)),
+                     list(frames_uint8), _face_embed_fn,
+                     lm_params=lm_params)),
                 ("face_track_drift",
                  lambda: face_mod.face_track_drift(
-                     list(frames_uint8), _face_embed_fn))):
+                     list(frames_uint8), _face_embed_fn,
+                     lm_params=lm_params))):
             try:
                 v = compute()
             except Exception:
