@@ -3,10 +3,12 @@
 Metric: images/sec/chip for SigLIP-2-base (256px) deepfake-detection
 inference — the full fused expert path as deployed: statically-quantized
 W8A8 ViT tower (calibrated PTQ, ops/quant.py, running the fused int8
-Pallas block kernels) + v5 binary head + 24-d FFT/SRM frequency expert +
-fusion + CORAL — i.e. the batched equivalent of the reference's per-image
-detect_core (appv3.py:3214). int8-vs-float accuracy is validated by an
-end-task AUC-delta test (tests/test_quant.py), not just feature cosine.
+Pallas block kernels) with ToMe token merging at the certified deployed
+rate (ops/tome.py DEPLOYED_TOME_R) + v5 binary head + 24-d FFT/SRM
+frequency expert + fusion + CORAL — i.e. the batched equivalent of the
+reference's per-image detect_core (appv3.py:3214). int8- and ToMe-vs-float
+accuracy is validated by end-task AUC-delta tests
+(tests/test_train_infer_e2e.py), not just feature cosine.
 
 vs_baseline: ratio against an A100 reference throughput for the same
 workload. The reference repo publishes no throughput numbers (BASELINE.md),

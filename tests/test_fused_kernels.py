@@ -209,3 +209,38 @@ def test_siglip_layer_int8_interpret_matches_split():
                                {"fc1": 3.0, "fc2": 2.0}, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_attn_sublayer_int8_grouped_with_bias():
+    """Small-S + batch divisible by 8 → the wrapper groups 8 images per
+    program (ToMe-floor regime); with a per-image logit bias the grouped
+    kernel must match the ungrouped XLA fallback per image."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpudf.ops.int8_block import attn_sublayer_int8
+    from tpudf.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(11)
+    heads, hd = 2, 64
+    w = heads * hd
+    b, s = 8, 32
+    x = jnp.asarray(rng.normal(0, 1, (b, s, w)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.normal(1, 0.1, (w,)), jnp.float32),
+          "bias": jnp.asarray(rng.normal(0, 0.1, (w,)), jnp.float32)}
+    qkv_wq = quantize_weight(jnp.asarray(rng.normal(0, 0.05, (w, 3 * w)),
+                                         jnp.float32))
+    qkv_b = jnp.asarray(rng.normal(0, 0.1, (3 * w,)), jnp.float32)
+    out_wq = quantize_weight(jnp.asarray(rng.normal(0, 0.05, (w, w)),
+                                         jnp.float32))
+    out_b = jnp.asarray(rng.normal(0, 0.1, (w,)), jnp.float32)
+    lb = jnp.asarray(rng.normal(0, 0.5, (b, s)), jnp.float32)
+    got = np.asarray(attn_sublayer_int8(x, ln, qkv_wq, qkv_b, out_wq, out_b,
+                                        3.0, 2.0, heads, hd,
+                                        logit_bias=lb, interpret=True))
+    ref = np.asarray(attn_sublayer_int8(x, ln, qkv_wq, qkv_b, out_wq, out_b,
+                                        3.0, 2.0, heads, hd, logit_bias=lb))
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+    # bias must actually matter (guards against zeros being silently used)
+    ref0 = np.asarray(attn_sublayer_int8(x, ln, qkv_wq, qkv_b, out_wq,
+                                         out_b, 3.0, 2.0, heads, hd))
+    assert np.abs(ref - ref0).max() > 1e-3

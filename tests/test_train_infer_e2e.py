@@ -130,7 +130,8 @@ def test_int8_and_tome_preserve_end_task_auc(dataset, trained):
     auc_float = _auc_zsig(eng, imgs, labels)
     assert auc_float > 0.8
 
-    auc_tome = _auc_zsig(eng, imgs, labels, tome_r=8)
+    from tpudf.ops.tome import DEPLOYED_TOME_R
+    auc_tome = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R)
     assert abs(auc_tome - auc_float) <= 0.02, (auc_tome, auc_float)
 
     # quantize on REAL calibration data (train images), then re-measure
@@ -143,5 +144,5 @@ def test_int8_and_tome_preserve_end_task_auc(dataset, trained):
     auc_int8 = _auc_zsig(eng, imgs, labels)
     assert abs(auc_int8 - auc_float) <= 0.02, (auc_int8, auc_float)
 
-    auc_both = _auc_zsig(eng, imgs, labels, tome_r=8)
+    auc_both = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R)
     assert abs(auc_both - auc_float) <= 0.03, (auc_both, auc_float)

@@ -43,6 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="deploy the calibrated W8A8 tower (engine.quantize; "
                         "~1.7x throughput, pooled cosine > 0.99)")
+    p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?",
+                   help="ToMe token merging (ops/tome.py): merge r token "
+                        "pairs between tower blocks (~1.8x tower at the "
+                        "deployed r=32). Bare --tome_r uses the certified "
+                        "DEPLOYED_TOME_R.")
     return p.parse_args(argv)
 
 
@@ -113,9 +118,13 @@ def build_engine(args, calib_uint8=None):
         from tpudf.fuse.bayesian import BayesCalibration
         with open(bc_path) as f:
             bayes_cal = BayesCalibration.from_json(json.load(f))
+    tome_r = getattr(args, "tome_r", None)
+    if tome_r is not None and tome_r < 0:
+        from tpudf.ops.tome import DEPLOYED_TOME_R
+        tome_r = DEPLOYED_TOME_R
     eng = DetectEngine(cfg=cfg, backbone=backbone, head=head, freq=freq,
                        fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY,
-                       bayes_calibration=bayes_cal)
+                       bayes_calibration=bayes_cal, tome_r=tome_r or 0)
     if getattr(args, "int8", False):
         # calibrate activation scales on the actual inputs when available
         # (synthetic-noise amax need not bound real-image activations)

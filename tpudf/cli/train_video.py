@@ -25,6 +25,11 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--patience", type=int, default=5)
     p.add_argument("--evaluate_only", action="store_true")
+    p.add_argument("--analysis", action="store_true",
+                   help="post-training publication analysis: activation "
+                        "stats, learning-vs-memorization 16-panel dashboard "
+                        "+ inference figure suite "
+                        "(hidf_video_classifier.py:2034-3284)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -105,9 +110,81 @@ def main(argv=None):
         save_checkpoint(os.path.join(args.save_dir, "best"),
                         state_box["state"]._asdict() | {"epoch": epoch}, row)
 
-    run_training(LoopConfig(epochs=args.epochs, patience=args.patience,
-                            monitor="f1", save_dir=args.save_dir),
-                 train_epoch, eval_epoch, save_best)
+    history = run_training(
+        LoopConfig(epochs=args.epochs, patience=args.patience,
+                   monitor="f1", save_dir=args.save_dir),
+        train_epoch, eval_epoch, save_best)
+
+    if args.analysis:
+        _publication_analysis(args, cfg, backbone, state_box["state"].head,
+                              train_ds, val_ds, eval_step, _prep, history)
+
+
+def _publication_analysis(args, cfg, backbone, head, train_ds, val_ds,
+                          eval_step, _prep, history):
+    """Post-training suite (hidf_video_classifier.py:3124-3284): sampled
+    train/val confidences, activation statistics on the head, the
+    learning-vs-memorization metric battery + 16-panel dashboard, and the
+    inference figure suite on the val split."""
+    import json
+
+    import jax
+
+    from tpudf.data.pipeline import normalize_siglip
+    from tpudf.eval.analysis import (activation_statistics,
+                                     learning_memorization_metrics,
+                                     plot_memorization_dashboard,
+                                     video_head_activations)
+    from tpudf.eval.plots import render_inference_report
+    from tpudf.models.siglip import siglip_forward
+    from tpudf.core.precision import DEFAULT_POLICY
+
+    def _probs(ds, cap_batches=10):
+        probs, labels = [], []
+        for i, batch in enumerate(ds.batches(args.batch_size)):
+            if i >= cap_batches:
+                break
+            z = eval_step(head, backbone, _prep(batch)["frames"])
+            probs.append(1 / (1 + np.exp(-np.asarray(z, np.float64))))
+            labels.append(np.asarray(batch["labels"], np.float64))
+        if not probs:
+            return np.zeros(0), np.zeros(0)
+        return np.concatenate(probs), np.concatenate(labels)
+
+    train_p, _ = _probs(train_ds)
+    val_p, val_y = _probs(val_ds)
+
+    act_stats = None
+    for batch in val_ds.batches(args.batch_size):
+        fr = _prep(batch)["frames"]
+        b, t = fr.shape[:2]
+        feats = siglip_forward(
+            backbone, fr.reshape(b * t, *fr.shape[2:]), cfg,
+            DEFAULT_POLICY)["pooled"].reshape(b, t, -1)
+        act_stats = activation_statistics(
+            video_head_activations(head, feats))
+        break
+
+    metrics = learning_memorization_metrics(
+        history, train_probs=train_p if len(train_p) else None,
+        val_probs=val_p if len(val_p) else None,
+        activation_stats=act_stats)
+    n_head = sum(int(np.prod(np.shape(l))) for l in
+                 jax.tree.leaves(head)) if head else 0
+    n_bb = sum(int(np.prod(np.shape(l))) for l in jax.tree.leaves(backbone))
+    path = plot_memorization_dashboard(
+        metrics, history, args.save_dir, train_probs=train_p,
+        val_probs=val_p, n_params={"backbone": n_bb, "head": n_head})
+    with open(os.path.join(args.save_dir,
+                           "learning_analysis.json"), "w") as f:
+        json.dump({k: v for k, v in metrics.items()
+                   if not isinstance(v, np.ndarray)}, f, indent=2,
+                  default=float)
+    if len(val_p):
+        render_inference_report(val_y, val_p,
+                                os.path.join(args.save_dir, "figures"))
+    print(f"[analysis] {metrics.get('learning_type')} "
+          f"(score {metrics.get('learning_score'):.1f}/10) → {path}")
 
 
 if __name__ == "__main__":

@@ -114,14 +114,20 @@ def ln_qkv_int8(x, ln_params, wq_dict, bias, act_scale, eps=1e-6, *,
 # ---------------------------------------------------- K12 (fused sublayer)
 def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                           wout_ref, sout_ref, bout_ref, a_ref, ls_ref,
-                          o_ref, *, heads, head_dim, scale, eps):
-    """One image per program: LN → quant → int8 QKV → attention → quant →
-    int8 out-proj → residual, entirely in VMEM. The (S, 3Wa) QKV activation
-    never exists in HBM — at batch 256 that deletes ~0.6 GB of traffic per
-    layer versus the separate-kernel form. The attention width Wa
-    (= heads*head_dim) may exceed the model width W when heads are
-    lane-padded (so400m 72 → 128)."""
-    x32 = x_ref[0].astype(jnp.float32)                     # (S, W)
+                          o_ref, *, heads, head_dim, scale, eps, group):
+    """`group` images per program: LN → quant → int8 QKV → attention →
+    quant → int8 out-proj → residual, entirely in VMEM. The (G·S, 3Wa) QKV
+    activation never exists in HBM — at batch 256 that deletes ~0.6 GB of
+    traffic per layer versus the separate-kernel form. The attention width
+    Wa (= heads*head_dim) may exceed the model width W when heads are
+    lane-padded (so400m 72 → 128).
+
+    group > 1 matters in the ToMe small-S regime (tokens merged down to
+    S=64): per-image programs would feed the MXU 64-row projection matmuls;
+    grouping G=8 images restores 512-row tiles for LN/QKV/out-proj while
+    attention itself stays per-image via static row slices."""
+    gg, s, w = x_ref.shape
+    x32 = x_ref[...].astype(jnp.float32).reshape(gg * s, w)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
     y = (x32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[...] + b_ref[...]
@@ -131,31 +137,36 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
                               preferred_element_type=jnp.int32)
     qkv = acc.astype(jnp.float32) * ((aq / 127.0) * sqkv_ref[...]) \
         + bqkv_ref[...]
-    qkv = qkv.astype(jnp.bfloat16)                         # (S, 3Wa)
+    qkv = qkv.astype(jnp.bfloat16)                         # (G·S, 3Wa)
     wa = heads * head_dim
-    ls = ls_ref[0]                                         # (S,) f32 per-key
-    outs = []
-    for h in range(heads):
-        lo = h * head_dim
-        qh = qkv[:, lo:lo + head_dim]
-        kh = qkv[:, wa + lo:wa + lo + head_dim]
-        vh = qkv[:, 2 * wa + lo:2 * wa + lo + head_dim]
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + ls[None, :]      # ToMe proportional attention (zeros if off)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p.astype(vh.dtype), vh,
-                            preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1)                     # (S, Wa) f32
+    img_outs = []
+    for g in range(group):
+        ls = ls_ref[g, 0]                                  # (S,) f32 per-key
+        qkv_g = qkv[g * s:(g + 1) * s]
+        outs = []
+        for h in range(heads):
+            lo = h * head_dim
+            qh = qkv_g[:, lo:lo + head_dim]
+            kh = qkv_g[:, wa + lo:wa + lo + head_dim]
+            vh = qkv_g[:, 2 * wa + lo:2 * wa + lo + head_dim]
+            sc = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ) * scale
+            sc = sc + ls[None, :]   # ToMe proportional attn (zeros if off)
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp(sc - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p.astype(vh.dtype), vh,
+                                preferred_element_type=jnp.float32))
+        img_outs.append(jnp.concatenate(outs, axis=-1))    # (S, Wa) f32
+    o = jnp.concatenate(img_outs, axis=0)                  # (G·S, Wa)
     ao = a_ref[1]
     o8 = _quant_rows(o, ao)
     acc2 = jax.lax.dot_general(o8, wout_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
     proj = acc2.astype(jnp.float32) * ((ao / 127.0) * sout_ref[...]) \
         + bout_ref[...]
-    o_ref[0] = (x32 + proj).astype(o_ref.dtype)
+    o_ref[...] = (x32 + proj).astype(o_ref.dtype).reshape(gg, s, w)
 
 
 def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
@@ -176,23 +187,35 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
     lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
     aligned = w % 128 == 0 and wa % 128 == 0 and s % 8 == 0
     assert qkv_wq["q"].shape == (w, 3 * wa), (qkv_wq["q"].shape, w, wa)
-    # VMEM: qkv weights int8 (3Wa*W) + out (Wa*W) + qkv act (S*3Wa bf16)
-    #       + scores (S*S f32, sequential per head) + x/out tiles
-    vmem = 4 * w * wa + s * 3 * wa * 2 + s * s * 4 + 3 * s * w * 4
+    # group several images per program when S is small (ToMe floor): per-
+    # image programs would run 64-row projection matmuls; grouping restores
+    # ~512-row MXU tiles. Attention stays per-image inside the kernel.
+    group = 1
+    for g in (8, 4, 2):
+        if b % g == 0 and g * s <= 512:
+            group = g
+            break
+    # VMEM: qkv weights int8 (3Wa*W) + out (Wa*W) + qkv act (G*S*3Wa bf16)
+    #       + scores (S*S f32, sequential per head/image) + x/out tiles
+    vmem = (4 * w * wa + group * s * 3 * wa * 2 + s * s * 4
+            + 3 * group * s * w * 4)
     fits = vmem <= 12 * 1024 * 1024
     if (_on_tpu() or interpret) and lane_ok and aligned and fits:
         a2 = jnp.stack([jnp.asarray(a_qkv, jnp.float32).reshape(()),
                         jnp.asarray(a_out, jnp.float32).reshape(())])
-        ls = (jnp.zeros((b, s), jnp.float32) if logit_bias is None
-              else logit_bias.astype(jnp.float32))
+        # (B, 1, S): Mosaic requires a block's trailing two dims be
+        # (8k, 128k) or equal to the array's — (1, S) blocks of a (B, S)
+        # array violate that, so the bias rides with a singleton axis.
+        ls = (jnp.zeros((b, 1, s), jnp.float32) if logit_bias is None
+              else logit_bias.astype(jnp.float32)[:, None, :])
         kernel = functools.partial(
             _attn_sublayer_kernel, heads=heads, head_dim=head_dim,
-            scale=scale, eps=float(eps))
+            scale=scale, eps=float(eps), group=group)
         return pl.pallas_call(
             kernel,
-            grid=(b,),
+            grid=(b // group,),
             in_specs=[
-                pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((group, s, w), lambda i: (i, 0, 0)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((w, 3 * wa), lambda i: (0, 0)),
@@ -202,9 +225,9 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((2,), lambda i: (0,)),
-                pl.BlockSpec((1, s), lambda i: (i, 0)),
+                pl.BlockSpec((group, 1, s), lambda i: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0)),
+            out_specs=pl.BlockSpec((group, s, w), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
             interpret=interpret,
         )(x, ln_params["scale"].astype(jnp.float32),

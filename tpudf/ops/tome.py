@@ -28,6 +28,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Deployed merge rate for the serving engine / bench path. Measured on the
+# v5e at base-256 (B=256, int8 tower, structured images): r=32 lifts the
+# tower from ~5,000 to ~9,090 img/s with pooled-feature cosine >= 0.998
+# vs the exact full-token bf16 tower (scripts/bench_tome.py) and end-task
+# AUC certified by tests/test_train_infer_e2e.py. The schedule clips
+# per-geometry (min_tokens = S/4), so the same constant is safe at every
+# image size.
+DEPLOYED_TOME_R = 32
+
 
 def merge_schedule(n_tokens: int, layers: int, r: int,
                    min_tokens: int = 64) -> tuple[int, ...]:

@@ -115,13 +115,19 @@ class DetectEngine:
     mean_real: Any = None
     gbdt: Any = None
     bayes_calibration: Any = None
+    # ToMe token merging (ops/tome.py): merge tome_r most-similar token
+    # pairs between consecutive tower blocks. Inference-only speed mode —
+    # end-task AUC certified within tolerance of the float/full-token model
+    # by tests/test_train_infer_e2e.py at DEPLOYED_TOME_R.
+    tome_r: int = 0
 
     def __post_init__(self):
         self._detect = jax.jit(functools.partial(
-            _detect_batch, cfg=self.cfg, policy=self.policy, cuts=self.cuts))
+            _detect_batch, cfg=self.cfg, policy=self.policy, cuts=self.cuts,
+            tome_r=self.tome_r))
         self._detect_fast = jax.jit(functools.partial(
             _detect_batch_fast, cfg=self.cfg, policy=self.policy,
-            cuts=self.cuts))
+            cuts=self.cuts, tome_r=self.tome_r))
 
     def quantize(self, calib_uint8: np.ndarray | None = None):
         """Switch the backbone to the deployed W8A8 static-quant config
@@ -176,10 +182,10 @@ def _freq_gray(views_flat):
     return gray
 
 
-def _experts(backbone, head, freq, views_flat, cfg, policy):
+def _experts(backbone, head, freq, views_flat, cfg, policy, tome_r=0):
     """One fused forward of both experts over (N, S, S, 3) [0,1] views."""
     feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
-                           policy)["pooled"]
+                           policy, tome_r=tome_r)["pooled"]
     z_sig = apply_binary_head(head, feats)
     fv = extract_freq_vector(_freq_gray(views_flat))
     z_freq = apply_freq_mlp(freq, fv)
@@ -204,7 +210,8 @@ def _core_from_views(z_sig_v, z_freq_v, z_rot, weights, fusion, cuts):
     return out
 
 
-def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
+def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
+                  tome_r=0):
     b, s, _, _ = pixels.shape
     x = pixels.astype(jnp.float32) / 255.0
 
@@ -225,7 +232,7 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
     nv = views.shape[1]
     views_flat = views.reshape(b * nv, s, s, 3)
     feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
-                           policy)["pooled"]
+                           policy, tome_r=tome_r)["pooled"]
     z_sig = apply_binary_head(head, feats).reshape(b, nv)
 
     # embedding-anomaly reference view: the plain full image's pooled
@@ -288,13 +295,14 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts):
 
 
 def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
-                       cuts):
+                       cuts, tome_r=0):
     """fast_mode: full view + rot dual view only (multicrop off)."""
     b, s, _, _ = pixels.shape
     x = pixels.astype(jnp.float32) / 255.0
     views = jnp.stack([x, rot90_view(x)], axis=1)
     z_sig, z_freq = _experts(backbone, head, freq,
-                             views.reshape(b * 2, s, s, 3), cfg, policy)
+                             views.reshape(b * 2, s, s, 3), cfg, policy,
+                             tome_r)
     z_sig = z_sig.reshape(b, 2)
     z_freq = z_freq.reshape(b, 2)
     vprob = 0.6 * jax.nn.sigmoid(z_sig[:, 0]) + 0.4 * jax.nn.sigmoid(z_sig[:, 1])
