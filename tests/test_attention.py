@@ -113,3 +113,26 @@ def test_fused_qkv_grad_through_dispatch():
     np.testing.assert_allclose(np.asarray(jax.grad(f_pallas)(qkv)),
                                np.asarray(jax.grad(f_ref)(qkv)),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_int8_attention_close_to_float():
+    """Dynamic int8 QK^T/AV (int8_attn=True) must track the float kernel —
+    scores quantized per-head-tile by amax, probs by the exact 1/127 scale.
+    Used by the static-int8 tower's long-sequence path (TPUDF_INT8_ATTN)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpudf.ops.attention import attention_qkv
+
+    heads, d = 2, 128
+    w = heads * d
+    qkv = jax.random.normal(jax.random.key(0), (2, 128, 3 * w),
+                            jnp.float32) * 0.5
+    ref = np.asarray(attention_qkv(qkv, heads, d, use_pallas=False))
+    got = np.asarray(attention_qkv(qkv, heads, d, interpret=True,
+                                   int8_attn=True))
+    # int8 quantization error budget: ~1% relative on the attention output
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.02, err
+    # and the mean must be essentially unbiased
+    assert abs(float(got.mean() - ref.mean())) < 1e-3

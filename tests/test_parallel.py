@@ -174,3 +174,43 @@ def test_tp_large_geometry_matches_replicated(mesh8):
     ref = np.asarray(siglip_forward(bb, jnp.asarray(px), cfg,
                                     F32_POLICY)["pooled"])
     np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
+
+
+def test_host_sharded_sampler_partitions_exactly():
+    from tpudf.parallel.hostdata import HostShardedSampler
+
+    n, gb, P_ = 37, 8, 4
+    per_host = [HostShardedSampler(n, gb, seed=3, process_index=p,
+                                   process_count=P_)
+                for p in range(P_)]
+    # same epoch → hosts' batches tile the identical global order
+    for epoch in (0, 1):
+        orders = [list(s.local_batches(epoch)) for s in per_host]
+        global_order = per_host[0].epoch_order(epoch)
+        nb = len(global_order) // gb
+        assert all(len(o) == nb for o in orders)
+        for bi in range(nb):
+            gb_idx = global_order[bi * gb:(bi + 1) * gb]
+            recon = np.empty(gb, dtype=gb_idx.dtype)
+            for p in range(P_):
+                assert len(orders[p][bi]) == gb // P_
+                recon[p::P_] = orders[p][bi]
+            np.testing.assert_array_equal(recon, gb_idx)
+    # different epochs shuffle differently
+    assert not np.array_equal(per_host[0].epoch_order(0),
+                              per_host[0].epoch_order(1))
+
+
+def test_global_batch_from_host_shards_single_process(mesh8):
+    from tpudf.parallel.hostdata import (HostShardedSampler,
+                                         global_batch_from_host_shards)
+
+    rng = np.random.default_rng(0)
+    data = rng.random((16, 8, 8, 3)).astype(np.float32)
+    s = HostShardedSampler(16, 16, shuffle=False)
+    (idx,) = list(s.local_batches(0))
+    arr = global_batch_from_host_shards(mesh8, data[idx])
+    assert arr.shape == (16, 8, 8, 3)
+    from tpudf.core.mesh import DATA_AXIS
+    assert arr.sharding.spec[0] == DATA_AXIS
+    np.testing.assert_allclose(np.asarray(arr), data)

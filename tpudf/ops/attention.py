@@ -165,7 +165,7 @@ def _attention_pallas_bshd(q, k, v, scale, *, q_block=256, interpret=False):
 
 
 def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
-                          interpret=False):
+                          interpret=False, int8_attn=False):
     """Transpose-free attention over a fused QKV activation.
 
     qkv: (B, S, 3W) — the raw output of the fused QKV projection, laid out
@@ -173,6 +173,14 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
     ready for the output projection. No (B,H,S,D) reshape/transpose copies
     ever materialize in HBM — the kernel slices per-head columns in VMEM.
     Measured: removes ~45% of ViT forward time at inference batch sizes.
+
+    int8_attn: run QK^T and AV as dynamically-quantized int8 MXU matmuls
+    (per-head per-tile amax computed in VMEM — no calibration needed; probs
+    are quantized with the exact scale 1/127 since softmax output is in
+    [0,1]). 2x MXU rate on the score/AV matmuls — worthwhile for the
+    long-sequence geometries (S>=576) where attention is ~30-50% of the
+    static-int8 tower's time. Inference-only accuracy knob; end effect
+    bounded by the engine cosine/AUC tests.
     """
     b, s, w3 = qkv.shape
     w = w3 // 3
@@ -200,12 +208,40 @@ def _attention_qkv_pallas(qkv, heads, head_dim, scale, *, q_block=256,
     gheads = heads // ngroups
 
     def _one_head(qh, kh, vh):
-        sc = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        if int8_attn:
+            q32 = qh.astype(jnp.float32)
+            k32 = kh.astype(jnp.float32)
+            aq = jnp.max(jnp.abs(q32)) + 1e-6
+            ak = jnp.max(jnp.abs(k32)) + 1e-6
+            q8 = jnp.clip(jnp.round(q32 * (127.0 / aq)),
+                          -127, 127).astype(jnp.int8)
+            k8 = jnp.clip(jnp.round(k32 * (127.0 / ak)),
+                          -127, 127).astype(jnp.int8)
+            sc = jax.lax.dot_general(
+                q8, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * ((aq * ak) / (127.0 * 127.0) * scale)
+        else:
+            sc = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
         m = jnp.max(sc, axis=-1, keepdims=True)
         e = jnp.exp(sc - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if int8_attn:
+            v32 = vh.astype(jnp.float32)
+            av = jnp.max(jnp.abs(v32)) + 1e-6
+            # per-ROW amax for the probs: near-uniform attention rows have
+            # p ~ 1/S, so a fixed 1/127 scale would quantize them to ~50%
+            # relative error; row-wise scaling keeps the step at p_max/254
+            ap = jnp.max(p, axis=-1, keepdims=True) + 1e-20
+            p8 = jnp.round(p * (127.0 / ap)).astype(jnp.int8)
+            v8 = jnp.clip(jnp.round(v32 * (127.0 / av)),
+                          -127, 127).astype(jnp.int8)
+            return jax.lax.dot_general(
+                p8, v8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (ap * (av / (127.0 * 127.0)))
         return jnp.dot(p.astype(vh.dtype), vh,
                        preferred_element_type=jnp.float32)
 
@@ -358,7 +394,7 @@ def _fused_qkv_with_vjp(heads: int, head_dim: int, scale: float,
 
 
 def attention_qkv(qkv, heads, head_dim, scale=None, *, use_pallas=None,
-                  interpret=False, logit_bias=None):
+                  interpret=False, logit_bias=None, int8_attn=False):
     """Fused-QKV attention: (B, S, 3W) → (B, S, W).
 
     The kernel slices per-head columns in VMEM, which Mosaic only supports
@@ -367,7 +403,11 @@ def attention_qkv(qkv, heads, head_dim, scale=None, *, use_pallas=None,
 
     logit_bias: optional (B, S) per-key additive logit bias (ToMe
     proportional attention) — routed through the XLA path (the inference
-    hot path carries it inside the fused int8 kernels instead)."""
+    hot path carries it inside the fused int8 kernels instead).
+
+    int8_attn: dynamically-quantized int8 QK^T/AV inside the kernel
+    (inference-only — no VJP; see _attention_qkv_pallas). Requested by the
+    static-int8 tower for long-sequence geometries via TPUDF_INT8_ATTN=1."""
     scale = scale if scale is not None else head_dim ** -0.5
     if use_pallas is None:
         use_pallas = _on_tpu()
@@ -377,6 +417,10 @@ def attention_qkv(qkv, heads, head_dim, scale=None, *, use_pallas=None,
     lane_ok = ((head_dim % 128 == 0) or (128 % head_dim == 0)) \
         and (qkv.shape[-1] // 3) % 128 == 0
     if (use_pallas or interpret) and lane_ok and logit_bias is None:
+        if int8_attn:
+            return _attention_qkv_pallas(qkv, int(heads), int(head_dim),
+                                         float(scale), interpret=interpret,
+                                         int8_attn=True)
         return _fused_qkv_with_vjp(int(heads), int(head_dim), float(scale),
                                    bool(interpret))(qkv)
     return _reference_qkv(qkv, heads, head_dim, scale, logit_bias)

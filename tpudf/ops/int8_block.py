@@ -397,10 +397,16 @@ def _attn_out_reference(qkv, x, wq, ws, bias, a, heads, head_dim, scale,
     """Fallback when the fused kernel exceeds VMEM (so400m padded S=1024):
     the attention itself still goes through ops/attention.attention_qkv
     (Pallas on TPU with its own head-group tiling; XLA einsum elsewhere) —
-    only the quant + int8 out-proj + residual run as plain XLA."""
+    only the quant + int8 out-proj + residual run as plain XLA.
+
+    TPUDF_INT8_ATTN=1 additionally runs QK^T/AV as dynamic-int8 MXU
+    matmuls (ops/attention.py) — the long-sequence geometries that land
+    here are exactly where attention is 30-50% of the int8 tower's time."""
+    import os
     from tpudf.ops.attention import attention_qkv
-    o = attention_qkv(qkv, heads, head_dim, scale,
-                      logit_bias=logit_bias)             # (B, S, Wa)
+    o = attention_qkv(qkv, heads, head_dim, scale, logit_bias=logit_bias,
+                      int8_attn=os.environ.get("TPUDF_INT8_ATTN") == "1"
+                      )                                  # (B, S, Wa)
     a = jnp.asarray(a, jnp.float32)
     q8 = _quant_rows(o.astype(jnp.float32), a)
     acc = jax.lax.dot_general(q8, wq, (((2,), (0,)), ((), ())),
