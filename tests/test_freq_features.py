@@ -112,6 +112,26 @@ def test_haar_is_orthonormal(gray):
     np.testing.assert_allclose(energy_in, energy_out, rtol=1e-5)
 
 
+def test_srm_moments_pallas_kernel_parity(gray):
+    """The fused SRM stencil+moments Pallas kernel (TPU path, run here in
+    interpret mode) must match the XLA twin exactly (same f32 math)."""
+    from tpudf.ops.srm import srm_raw_moments
+    g = jnp.asarray(np.stack([gray, gray[::-1]]))
+    a = np.asarray(srm_raw_moments(g, interpret=True))
+    b = np.asarray(srm_raw_moments(g))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_haar_energies_matmul_path_parity(gray):
+    """The TPU separable-matmul haar path (bf16 MXU) must track the exact
+    f32 reshape form at feature level."""
+    from tpudf.ops.dwt import haar_energies_2level
+    g = jnp.asarray(np.stack([gray, gray.T]))
+    a = np.asarray(haar_energies_2level(g, use_matmul=True))
+    b = np.asarray(haar_energies_2level(g, use_matmul=False))
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4)
+
+
 def test_matmul_dft_matches_fft_path():
     """The MXU DFT-by-matmul path (used on TPU) must match the jnp.fft path
     at feature level; also check raw re/im vs numpy fft in f32."""
