@@ -10,6 +10,18 @@ reference's per-image detect_core (appv3.py:3214). int8- and ToMe-vs-float
 accuracy is validated by end-task AUC-delta tests
 (tests/test_train_infer_e2e.py), not just feature cosine.
 
+Timing methodology (scripts/devtime.py): the dev chip is reached through a
+tunnel whose runtime can (a) return from block_until_ready before execution
+completes and (b) coalesce repeated identical dispatches — naive timing
+loops report numbers that are impossible in both directions (measured: a
+4096^3 bf16 matmul "at 7,700 TF/s" on a 197 TF/s chip, and the same graph
+2.3x slower in another run). The benchmark therefore chains ITERS forward
+passes inside ONE jit via lax.fori_loop with a data-dependent perturbation
+(strictly serial, never coalescable), fetches the result bytes, and
+subtracts a 1-iteration run so the host<->chip round trip cancels. This is
+steady-state device throughput at serving batch size — the number a
+non-tunneled production host sees with ordinary async dispatch.
+
 vs_baseline: ratio against an A100 reference throughput for the same
 workload. The reference repo publishes no throughput numbers (BASELINE.md),
 so we use A100_BASELINE_IPS = 2000 img/s — a generous estimate for
@@ -19,6 +31,8 @@ driver-set target (BASELINE.json) is >=5x this per chip.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -33,33 +47,29 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IPS = 2000.0
+TARGET_BATCH = 1024          # serving batch: amortizes per-program overhead
+ITERS = 8
+REPS = 3
 
 
 def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from devtime import devtime
+
     from __graft_entry__ import entry
 
     fn, args = entry()
     *params, pixels = args
     batch = int(pixels.shape[0])
 
-    # scale batch up for throughput (one chip)
-    target_batch = 256
-    reps = max(1, target_batch // batch)
+    reps = max(1, TARGET_BATCH // batch)
     big = jnp.tile(pixels, (reps, 1, 1, 1))
     b = int(big.shape[0])
 
-    jit_fn = jax.jit(fn)
-    out = jit_fn(*params, big)
-    jax.block_until_ready(out)              # compile
+    dt = devtime(fn, *params, big, iters=ITERS, reps=REPS)
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = jit_fn(*params, big)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    ips = b * n_iters / dt
+    ips = b / dt
     print(json.dumps({
         "metric": "images/sec/chip (SigLIP-base-256 fused detect_core)",
         "value": round(ips, 1),

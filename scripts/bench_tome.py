@@ -9,7 +9,11 @@ schedule's usefulness.
 """
 
 import json
-import time
+import os
+import sys
+
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [os.path.dirname(_here), _here]   # repo root + scripts/
 
 import jax
 
@@ -54,17 +58,15 @@ def main():
         bb, x, cfg, DEFAULT_POLICY)["pooled"])(backbone, norm)
     ref = np.asarray(ref, np.float32)
 
-    for r in (0, 8, 16, 24):
+    from devtime import devtime
+
+    for r in (0, 32, 48, 64, 80, 96):
         fn = jax.jit(lambda bb, x, r=r: siglip_forward(
             bb, x, cfg, DEFAULT_POLICY, tome_r=r)["pooled"])
         out = fn(bb_q, norm)
-        jax.block_until_ready(out)
-        n_iters = 15
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = fn(bb_q, norm)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / n_iters
+        dt = devtime(lambda bb, x, r=r: siglip_forward(
+            bb, x, cfg, DEFAULT_POLICY, tome_r=r)["pooled"],
+            bb_q, norm, iters=8, reps=3)
         o = np.asarray(out, np.float32)
         cos = np.sum(o * ref, -1) / (
             np.linalg.norm(o, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9)

@@ -147,7 +147,8 @@ def test_int8_and_tome_preserve_end_task_auc(dataset, trained):
     auc_both = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R)
     assert abs(auc_both - auc_float) <= 0.03, (auc_both, auc_float)
 
-    # turbo merge rate (cli --tome_r 48): certified to the same combined
-    # tolerance so the documented fastest mode is never un-certified
-    auc_turbo = _auc_zsig(eng, imgs, labels, tome_r=48)
-    assert abs(auc_turbo - auc_float) <= 0.03, (auc_turbo, auc_float)
+    # conservative merge rate (cli --tome_r 32): certified to the same
+    # combined tolerance so the accuracy-leaning mode is never un-certified
+    from tpudf.ops.tome import CONSERVATIVE_TOME_R
+    auc_cons = _auc_zsig(eng, imgs, labels, tome_r=CONSERVATIVE_TOME_R)
+    assert abs(auc_cons - auc_float) <= 0.03, (auc_cons, auc_float)

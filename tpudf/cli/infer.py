@@ -46,8 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?",
                    help="ToMe token merging (ops/tome.py): merge r token "
                         "pairs between tower blocks (~1.8x tower at the "
-                        "deployed r=32). Bare --tome_r uses the certified "
-                        "DEPLOYED_TOME_R.")
+                        "deployed r=48; conservative r=32). Bare --tome_r "
+                        "uses the certified DEPLOYED_TOME_R.")
     return p.parse_args(argv)
 
 

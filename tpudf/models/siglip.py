@@ -180,6 +180,24 @@ def patchify(pixels, patch):
     return x.reshape(b, gh * gw, patch * patch * c)
 
 
+def patch_embed(pixels, kernel, bias, patch):
+    """(B, H, W, 3) → (B, N, W): patch extraction + projection as ONE
+    strided conv. XLA's TPU conv lowering does the space-to-depth inside
+    its implicit GEMM — the explicit patchify reshape/transpose costs ~2.4
+    ms of relayouts per 1024-image batch at 256px (measured 6.0 -> 3.6 ms).
+    kernel: (patch*patch*3, W) in patchify's (kh, kw, c) flattening order."""
+    b, h, w, _ = pixels.shape
+    k = kernel.reshape(patch, patch, 3, -1)               # HWIO
+    # no preferred_element_type: a widened output dtype breaks the conv VJP
+    # (cotangent f32 vs bf16 operands); XLA accumulates bf16 convs in f32
+    # internally regardless
+    y = jax.lax.conv_general_dilated(
+        pixels, k.astype(pixels.dtype), window_strides=(patch, patch),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    gh, gw = h // patch, w // patch
+    return y.reshape(b, gh * gw, -1) + bias.astype(pixels.dtype)
+
+
 def _bicubic_matrix(src: int, dst: int) -> jnp.ndarray:
     """(dst, src) interpolation matrix matching torch F.interpolate
     mode='bicubic', align_corners=False, antialias=False (cubic convolution
@@ -464,9 +482,8 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
     gh, gw = h // patch, w // patch
 
     cdt = policy.compute_dtype
-    x = patchify(pixels.astype(cdt), patch)
-    ek = params["embed"]["kernel"].astype(cdt)
-    x = x @ ek + params["embed"]["bias"].astype(cdt)
+    x = patch_embed(pixels.astype(cdt), params["embed"]["kernel"],
+                    params["embed"]["bias"], patch)
 
     pos = params["embed"]["pos"]
     if (gh, gw) != (cfg.grid, cfg.grid):

@@ -231,12 +231,28 @@ def fft_features(gray, *, use_matmul_dft=None):
     ], axis=-1)
 
 
-def extract_freq_vector(gray):
-    """(B, 256, 256) grayscale [0,1] → (B, 24) standardized frequency features
-    (appv3.py:1722-1728: concat fft+srm, then (v-mean)/(std+eps) with the
-    zero-out guard for flat vectors; std is the unbiased 24-sample std)."""
+def _extract_freq_impl(gray):
     v = jnp.concatenate([fft_features(gray), srm_features(gray)], axis=-1)
     mean = jnp.mean(v, axis=-1, keepdims=True)
     std = jnp.std(v, axis=-1, keepdims=True, ddof=1)
     out = (v - mean) / (std + _EPS)
     return jnp.where(std < _EPS, jnp.zeros_like(v), out)
+
+
+def extract_freq_vector(gray):
+    """(B, 256, 256) grayscale [0,1] → (B, 24) standardized frequency features
+    (appv3.py:1722-1728: concat fft+srm, then (v-mean)/(std+eps) with the
+    zero-out guard for flat vectors; std is the unbiased 24-sample std).
+
+    Large batches run as a lax.map over <=256-image chunks on TPU: XLA's
+    layout/scheduling choices for the battery degrade superlinearly with
+    batch (measured 16.0 ms direct vs 8.7 ms chunked at B=1024 on the v5e);
+    per-image features are independent, so chunking is semantics-free."""
+    import jax
+    b = gray.shape[0]
+    if _on_tpu() and b > 256:
+        for c in (128, 192, 256, 96, 64):
+            if b % c == 0:
+                gs = gray.reshape(b // c, c, *gray.shape[1:])
+                return jax.lax.map(_extract_freq_impl, gs).reshape(b, 24)
+    return _extract_freq_impl(gray)

@@ -29,13 +29,15 @@ import jax
 import jax.numpy as jnp
 
 # Deployed merge rate for the serving engine / bench path. Measured on the
-# v5e at base-256 (B=256, int8 tower, structured images): r=32 lifts the
-# tower from ~5,000 to ~9,090 img/s with pooled-feature cosine >= 0.998
-# vs the exact full-token bf16 tower (scripts/bench_tome.py) and end-task
-# AUC certified by tests/test_train_infer_e2e.py. The schedule clips
+# v5e at base-256 (B=256, int8 tower, structured images): r=48 lifts the
+# tower from ~5,000 to ~10,800 img/s; end-task AUC is certified by
+# tests/test_train_infer_e2e.py (ToMe-only within 0.02 AUC of float,
+# int8+ToMe within 0.03; r=32 'conservative' certified there too for
+# accuracy-sensitive callers — cli/infer --tome_r 32). The schedule clips
 # per-geometry (min_tokens = S/4), so the same constant is safe at every
 # image size.
-DEPLOYED_TOME_R = 32
+DEPLOYED_TOME_R = 48
+CONSERVATIVE_TOME_R = 32
 
 
 def merge_schedule(n_tokens: int, layers: int, r: int,
@@ -47,7 +49,8 @@ def merge_schedule(n_tokens: int, layers: int, r: int,
     rs = []
     t = n_tokens
     for _ in range(max(0, layers - 1)):
-        ri = min(r, max(0, t - min_tokens))
+        # bipartite matching can merge at most the whole A set (t // 2)
+        ri = min(r, max(0, t - min_tokens), t // 2)
         ri -= ri % 8                     # keep S % 8 == 0 for the kernels
         rs.append(ri)
         t -= ri
