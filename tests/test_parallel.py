@@ -214,3 +214,51 @@ def test_global_batch_from_host_shards_single_process(mesh8):
     from tpudf.core.mesh import DATA_AXIS
     assert arr.sharding.spec[0] == DATA_AXIS
     np.testing.assert_allclose(np.asarray(arr), data)
+
+
+def test_sharded_trainer_matches_single_device(mesh8):
+    """ShardedTrainer (dp+TP mesh, host-sharded feeding) must reproduce the
+    single-device training trajectory on identical global batches."""
+    from tpudf.parallel.hostdata import HostShardedSampler
+    from tpudf.parallel.training import ShardedTrainer
+    from tpudf.models.heads import init_binary_head
+    from tpudf.train.steps import (init_train_state, make_binary_train_step,
+                                   make_optimizer)
+
+    rng = np.random.default_rng(0)
+    n, gb, s = 16, 8, 32
+    pixels = rng.random((n, s, s, 3)).astype(np.float32)
+    labels = (np.arange(n) % 2).astype(np.float32)
+
+    def build():
+        bb = init_siglip(jax.random.key(3), CFG)
+        head = init_binary_head(jax.random.key(4), CFG.width)
+        opt = make_optimizer(lr=1e-3, total_steps=8, grad_clip=1.0)
+        step = make_binary_train_step(CFG, opt, policy=F32_POLICY,
+                                      train_backbone=True)
+        return {"backbone": bb, "head": head}, opt, step
+
+    # sharded run
+    params, opt, step = build()
+    trainer = ShardedTrainer(mesh8, step, opt, params)
+    sampler = HostShardedSampler(n, gb, seed=1)
+    m1 = trainer.run_epoch({"pixels": pixels, "labels": labels}, sampler,
+                           epoch=0, rng=jax.random.key(9))
+
+    # single-device replay of the same global batches
+    params, opt, step = build()
+    state = init_train_state(params, opt)
+    jstep = jax.jit(step)
+    order = sampler.epoch_order(0)
+    for bi in range(len(order) // gb):
+        idx = order[bi * gb:(bi + 1) * gb]
+        sub = jax.random.fold_in(jax.random.key(9), bi)
+        state, m2 = jstep(state, None,
+                          {"pixels": jnp.asarray(pixels[idx]),
+                           "labels": jnp.asarray(labels[idx])}, sub)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               atol=1e-4, rtol=1e-4)
+    got = np.asarray(trainer.state.params["head"]["fc1"]["w"])
+    want = np.asarray(state.params["head"]["fc1"]["w"])
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
