@@ -8,7 +8,11 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_train.py
 """
 
 import json
-import time
+import os
+import sys
+
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [os.path.dirname(_here), _here]   # repo root + scripts/
 
 import jax
 
@@ -20,17 +24,10 @@ import numpy as np
 import optax
 
 
-def timeit(fn, *args, iters=10, warmup=2):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+# chained-fori_loop timing (see scripts/devtime.py): naive repeat loops are
+# unreliable through the tunneled dev chip (early block_until_ready returns,
+# dispatch coalescing)
+from devtime import devtime
 
 
 def main():
@@ -59,9 +56,11 @@ def main():
         "has_mask": jnp.asarray((np.arange(b) % 3 == 2)
                                 .astype(np.float32)),
     }
-    jit_step = jax.jit(step)
-    dt, _ = timeit(lambda s: jit_step(s, batch, jax.random.key(1), 1.0, 0.5),
-                   state)
+    def stepper(s, b, px):
+        st, metrics = step(s, {**b, "pixels": px}, jax.random.key(1),
+                           1.0, 0.5)
+        return metrics
+    dt = devtime(stepper, state, batch, batch["pixels"], iters=5, reps=3)
     print(json.dumps({"metric": "mtl_train_step_base256_top3_unfrozen",
                       "batch": b, "ms": round(dt * 1e3, 1),
                       "img_per_s": round(b / dt, 1)}))

@@ -1,0 +1,81 @@
+"""Video-path throughput + per-image p50 latency on the real chip.
+
+Covers the BASELINE.json metric trio beyond images/sec: video frames/sec
+through the fast engine (full + rot dual view per frame, int8+ToMe tower)
+and end-to-end single-image report latency through serve/report
+(device experts + decision cascade + host round trip).
+
+Run from the repo root: python scripts/bench_video.py
+"""
+
+import json
+import os
+import sys
+import time
+
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [os.path.dirname(_here), _here]
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from devtime import devtime
+
+
+def main():
+    from tpudf.calib.coral import CoralCutpoints
+    from tpudf.models.freq_mlp import init_freq_mlp
+    from tpudf.models.fusion import init_fusion_linear
+    from tpudf.models.heads import init_binary_head
+    from tpudf.models.siglip import CONFIGS, init_siglip
+    from tpudf.ops.tome import DEPLOYED_TOME_R
+    from tpudf.serve.engine import DetectEngine, _detect_batch_fast
+
+    cfg = CONFIGS["base-256"]
+    ks = jax.random.split(jax.random.key(0), 4)
+    eng = DetectEngine(cfg=cfg, backbone=init_siglip(ks[0], cfg),
+                       head=init_binary_head(ks[1], cfg.width),
+                       freq=init_freq_mlp(ks[2]),
+                       fusion=init_fusion_linear(ks[3]),
+                       cuts=CoralCutpoints.default(),
+                       tome_r=DEPLOYED_TOME_R)
+    rng = np.random.default_rng(0)
+    calib = (rng.random((16, 256, 256, 3)) * 255).astype(np.uint8)
+    eng.quantize(calib)
+
+    # ---- video frames/sec: fast mode (2 views/frame), B=128 frames
+    B = 128
+    frames = jnp.asarray(rng.random((B, 256, 256, 3)) * 255, jnp.float32)
+    import functools
+    fast = functools.partial(_detect_batch_fast, cfg=cfg, policy=eng.policy,
+                             cuts=eng.cuts, tome_r=eng.tome_r)
+    dt = devtime(lambda bb, h, f, fu, px: fast(bb, h, f, fu, px),
+                 eng.backbone, eng.head, eng.freq, eng.fusion, frames,
+                 iters=8, reps=3)
+    print(json.dumps({"metric": "video frames/sec (fast engine, int8+ToMe)",
+                      "batch_frames": B, "value": round(B / dt, 1)}))
+
+    # ---- p50 end-to-end single-image report latency (host wall clock,
+    # includes the tunneled host<->chip round trips a remote client pays)
+    from tpudf.serve.report import predict_images
+    img = (rng.random((1, 256, 256, 3)) * 255).astype(np.uint8)
+    predict_images(eng, img)                       # warm / compile
+    lats = []
+    for i in range(9):
+        im = (rng.random((1, 256, 256, 3)) * 255).astype(np.uint8)
+        t0 = time.perf_counter()
+        predict_images(eng, im)
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    print(json.dumps({
+        "metric": "p50 single-image full report latency (end-to-end)",
+        "value_ms": round(lats[len(lats) // 2] * 1e3, 1)}))
+
+
+if __name__ == "__main__":
+    main()

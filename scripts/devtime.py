@@ -33,7 +33,11 @@ def _chained(f, iters):
         *args, seed = args_and_seed
 
         def body(_, acc):
-            out = f(*args[:-1], args[-1] + (acc + seed) * 1e-30)
+            # cast the perturbation to the arg's dtype: an f32 scalar would
+            # silently promote a bf16 input array to f32 and change the
+            # measured graph's HBM traffic
+            eps = ((acc + seed) * 1e-30).astype(args[-1].dtype)
+            out = f(*args[:-1], args[-1] + eps)
             leaves = jax.tree.leaves(out)
             s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
             return acc + s * 1e-30

@@ -164,8 +164,27 @@ def test_sharded_detect_core_quantized(mesh8):
 def test_tp_large_geometry_matches_replicated(mesh8):
     """TP sharding at the REAL large-384 width (W=1024, 16 heads) — catches
     layout/collective bugs that small test widths cannot (r2 verdict). Input
-    resolution reduced (tokens don't change the sharding surface)."""
-    cfg = CONFIGS["large-384"]
+    resolution reduced (tokens don't change the sharding surface).
+
+    Depth is cut to 4 layers (every layer is TP-identical — the sharding
+    surface is width/heads/layout, not depth) and the test runs in an
+    isolated subprocess: at the full 24-layer ~1.2 GB-param size the
+    XLA:CPU runtime SIGABRTs when executed after ~180 suite tests'
+    allocator state, in-process or spawned."""
+    import dataclasses
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("TPUDF_TP_LARGE_INNER") != "1":
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             __file__ + "::test_tp_large_geometry_matches_replicated",
+             "-q", "-x"],
+            env={**os.environ, "TPUDF_TP_LARGE_INNER": "1"},
+            capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+        return
+    cfg = dataclasses.replace(CONFIGS["large-384"], layers=4)
     bb = init_siglip(jax.random.key(9), cfg)
     px = np.random.default_rng(9).random((4, 96, 96, 3)).astype(np.float32)
     run_tp = sharded_siglip_features(mesh8, bb, cfg, F32_POLICY,

@@ -15,15 +15,28 @@ from PIL import Image
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
-    """Visually separable classes: REAL = dark noise, FAKE = bright noise."""
+    """Separable by TEXTURE, not brightness: REAL = smooth gradient + mild
+    noise, FAKE = same mean + high-frequency checkerboard. A token-level
+    cue makes the ToMe certification meaningful — merging tokens could
+    actually destroy the signal, unlike a global-brightness task."""
     root = tmp_path_factory.mktemp("e2e")
     rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
     for split, n in (("train", 24), ("val", 16)):
-        for cls, lo in (("REAL", 0.0), ("FAKE", 0.55)):
+        for cls in ("REAL", "FAKE"):
             d = root / split / cls
             d.mkdir(parents=True)
             for i in range(n):
-                arr = np.clip(rng.random((32, 32, 3)) * 0.4 + lo, 0, 1)
+                a, b = rng.uniform(2, 7, 2)
+                base = 0.5 + 0.2 * (np.sin(a * yy + b * xx)[..., None]
+                                    * np.ones((1, 1, 3)))
+                if cls == "FAKE":
+                    tex = 0.18 * np.sign(
+                        np.sin(xx * np.pi * 32) * np.cos(yy * np.pi * 32)
+                    )[..., None]
+                else:
+                    tex = 0.06 * rng.standard_normal((64, 64, 3))
+                arr = np.clip(base + tex, 0, 1)
                 Image.fromarray((arr * 255).astype(np.uint8)).save(
                     d / f"{i}.png")
     return str(root)
@@ -34,7 +47,7 @@ def trained(dataset, tmp_path_factory):
     from tpudf.cli.train_binary import main as train_main
     save = str(tmp_path_factory.mktemp("run"))
     train_main(["--data_dir", dataset, "--save_dir", save,
-                "--model_size", "test-32", "--epochs", "6",
+                "--model_size", "test-64", "--epochs", "6",
                 "--batch_size", "16", "--lr", "3e-3", "--warmup_steps", "2",
                 "--no_augment", "--seed", "0"])
     ckpt = os.path.join(save, "best")
@@ -47,7 +60,7 @@ def test_train_then_infer(dataset, trained, tmp_path):
 
     out = str(tmp_path / "reports.jsonl")
     infer_main(["--input", os.path.join(dataset, "val"), "--out", out,
-                "--model_size", "test-32", "--batch_size", "16", "--fast",
+                "--model_size", "test-64", "--batch_size", "16", "--fast",
                 "--head_ckpt", trained, "--seed", "0"])
 
     labels, z = [], []
@@ -85,7 +98,7 @@ def _engine_from_ckpt(ckpt, seed=0):
     from tpudf.train.steps import init_train_state, make_optimizer
     from tpudf.models.heads import init_binary_head
 
-    cfg = CONFIGS["test-32"]
+    cfg = CONFIGS["test-64"]
     backbone = init_siglip(jax.random.key(seed), cfg)
     head_t = init_binary_head(jax.random.key(seed + 1), cfg.width)
     opt = make_optimizer(total_steps=1)
@@ -130,7 +143,14 @@ def test_int8_and_tome_preserve_end_task_auc(dataset, trained):
     auc_float = _auc_zsig(eng, imgs, labels)
     assert auc_float > 0.8
 
-    from tpudf.ops.tome import DEPLOYED_TOME_R
+    from tpudf.ops.tome import DEPLOYED_TOME_R, merge_schedule
+    # the certification must not be vacuous: the deployed rate must really
+    # merge tokens at this geometry (test-32's 4 tokens silently made the
+    # old cert a no-op)
+    n_tok = (eng.cfg.image_size // eng.cfg.patch_size) ** 2
+    sched = merge_schedule(n_tok, eng.cfg.layers, DEPLOYED_TOME_R,
+                           min_tokens=max(8, n_tok // 4))
+    assert sum(sched) > 0, sched
     auc_tome = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R)
     assert abs(auc_tome - auc_float) <= 0.02, (auc_tome, auc_float)
 

@@ -22,9 +22,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="tpudf binary trainer")
     p.add_argument("--data_dir", required=True)
     p.add_argument("--save_dir", default="runs/binary")
+    from tpudf.models.siglip import CONFIGS
     p.add_argument("--model_size", default="base-256",
-                   choices=["test-32", "base-256", "base-384", "large-384",
-                            "so400m-512"])
+                   choices=sorted(CONFIGS))
     p.add_argument("--head", default="v5", choices=["v5", "fast"])
     p.add_argument("--backbone_ckpt", default=None,
                    help="HF SiglipVisionModel dir/safetensors to convert")

@@ -78,6 +78,11 @@ CONFIGS = {
     "so400m-512": SigLIPConfig(1152, 27, 16, 4304, 512, 16),
     # tiny config for tests
     "test-32": SigLIPConfig(64, 2, 2, 128, 32, 16),
+    # tiny config with a REAL token grid (8x8 = 64 tokens): ToMe schedules
+    # actually merge here (test-32's 4 tokens sit below the merge floor, so
+    # it cannot exercise token merging) — used by the end-task speed-mode
+    # certification in tests/test_train_infer_e2e.py
+    "test-64": SigLIPConfig(64, 2, 2, 128, 64, 8),
 }
 
 

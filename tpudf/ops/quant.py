@@ -138,9 +138,8 @@ def calibrate_siglip_act_scales(params, cfg, pixels, policy=None):
     patch = cfg.patch_size
     gh, gw = h // patch, w // patch
 
-    x = S.patchify(pixels.astype(cdt), patch)
-    x = x @ params["embed"]["kernel"].astype(cdt) \
-        + params["embed"]["bias"].astype(cdt)
+    x = S.patch_embed(pixels.astype(cdt), params["embed"]["kernel"],
+                      params["embed"]["bias"], patch)
     pos = params["embed"]["pos"]
     if (gh, gw) != (cfg.grid, cfg.grid):
         pos = S.interpolate_pos(pos, cfg.grid, (gh, gw))

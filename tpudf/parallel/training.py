@@ -71,7 +71,6 @@ class ShardedTrainer:
         self.extra = (replicate_tree(mesh, extra_replicated)
                       if extra_replicated is not None else None)
         self._step = jax.jit(step_fn, donate_argnums=0)
-        self._batch_spec = {}
 
     def _global(self, local: np.ndarray):
         return global_batch_from_host_shards(self.mesh, local)
