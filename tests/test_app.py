@@ -97,3 +97,36 @@ def test_predict_clip_fn(engine, tmp_path):
     rep = json.loads(js)
     assert "video_label" in rep
     os.unlink(json_path)
+
+
+def test_app_cli_args_wire_into_build_engine():
+    """The app's argparse namespace must satisfy cli.infer.build_engine
+    (a missing --seed/--int8/--tome_r would crash at launch with gradio
+    installed — the gradio-less fallback path hides it)."""
+    import argparse
+    from tpudf.cli.infer import build_engine
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--artifacts", default=None)
+    p.add_argument("--model_size", default="test-32")
+    p.add_argument("--backbone_ckpt", default=None)
+    p.add_argument("--head_ckpt", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?")
+    args = p.parse_args(["--model_size", "test-32", "--int8", "--tome_r"])
+
+    calib = (np.random.default_rng(0).random((4, 32, 32, 3)) * 255
+             ).astype(np.uint8)
+    eng = build_engine(args, calib_uint8=calib)
+    from tpudf.ops.tome import DEPLOYED_TOME_R
+    assert eng.tome_r == DEPLOYED_TOME_R
+    assert "act_scales" in eng.backbone.get("blocks", {})   # int8 applied
+
+    # and the REAL app parser accepts the same flags (catches drift between
+    # this test's stand-in parser and serve/app.py's)
+    import inspect
+    from tpudf.serve import app as app_mod
+    src = inspect.getsource(app_mod.main)
+    for flag in ("--seed", "--int8", "--tome_r", "--head_ckpt"):
+        assert flag in src, f"serve/app.py main() lost {flag}"

@@ -213,8 +213,8 @@ def fft_features(gray, *, use_matmul_dft=None):
     bounds = (np.arange(1, nb, dtype=np.float64) / nb) * (2 * math.pi) \
         - math.pi
     n_ge = jnp.stack(
-        [jnp.sum((phase >= b).astype(jnp.float32), axis=1)
-         for b in bounds.astype(np.float32)], axis=1)        # (B, 49)
+        [jnp.sum((phase >= bk).astype(jnp.float32), axis=1)
+         for bk in bounds.astype(np.float32)], axis=1)       # (B, 49)
     total = jnp.full((b, 1), float(h * w), jnp.float32)
     n_all = jnp.concatenate(
         [total, n_ge, jnp.zeros((b, 1), jnp.float32)], axis=1)

@@ -247,7 +247,15 @@ def main(argv=None):
     p.add_argument("--artifacts", default=None)
     p.add_argument("--model_size", default="base-256")
     p.add_argument("--backbone_ckpt", default=None)
+    p.add_argument("--head_ckpt", default=None)
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--share", action="store_true")
+    # deployed speed modes (AUC-certified, tests/test_train_infer_e2e.py)
+    p.add_argument("--int8", action="store_true",
+                   help="statically-quantized W8A8 tower")
+    p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?",
+                   help="ToMe token merging (bare flag = certified "
+                        "DEPLOYED_TOME_R)")
     args = p.parse_args(argv)
 
     try:
