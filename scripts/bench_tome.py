@@ -1,7 +1,7 @@
 """ToMe throughput + fidelity sweep on the int8 tower (real chip).
 
-For r in {0, 8, 16, 24}: images/sec at B=256, and pooled-feature cosine
-vs the exact bf16 tower on the same (structured) inputs. Structured inputs
+For r in {0, 32, 48, 64, 80, 96}: images/sec at B=256, and pooled-feature
+cosine vs the exact bf16 tower on the same (structured) inputs. Structured inputs
 (smooth gradients + texture) rather than uniform noise — ToMe merges by
 similarity, and real images have far more mergeable tokens than noise, so
 noise is the adversarial case for both speed-irrelevant fidelity and the

@@ -40,6 +40,11 @@ def test_train_video_cli_with_analysis(video_dataset, tmp_path):
     assert os.path.exists(os.path.join(save, "best"))
     assert os.path.exists(os.path.join(save, "learning_vs_memorization.png"))
     assert os.path.exists(os.path.join(save, "learning_analysis.json"))
+    # the battery must actually see val_loss in history (a missing key
+    # silently degenerated the generalization-gap metrics — r3 review)
+    import json
+    metrics = json.load(open(os.path.join(save, "learning_analysis.json")))
+    assert "generalization_gap" in metrics, sorted(metrics)
     figs = os.path.join(save, "figures")
     assert os.path.exists(os.path.join(figs, "roc_curve.png"))
     assert os.path.exists(os.path.join(figs, "confusion_matrix.png"))

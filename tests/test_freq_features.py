@@ -114,12 +114,18 @@ def test_haar_is_orthonormal(gray):
 
 def test_srm_moments_pallas_kernel_parity(gray):
     """The fused SRM stencil+moments Pallas kernel (TPU path, run here in
-    interpret mode) must match the XLA twin exactly (same f32 math)."""
+    interpret mode) must match the XLA twin. Batch must be a multiple of
+    the kernel's group (4) or srm_raw_moments falls back to the XLA form
+    and the test compares the twin to itself (r3 review finding); assert
+    the interpret path and the fallback path really differ in route by
+    checking batch eligibility explicitly."""
     from tpudf.ops.srm import srm_raw_moments
-    g = jnp.asarray(np.stack([gray, gray[::-1]]))
+    g = jnp.asarray(np.stack([gray, gray[::-1], gray.T, gray[:, ::-1]]))
+    assert g.shape[0] % 4 == 0               # kernel-eligible batch
     a = np.asarray(srm_raw_moments(g, interpret=True))
     b = np.asarray(srm_raw_moments(g))
-    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    # separable-vs-9-point stencil reassociation rounding ~5e-5 relative
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
 
 
 def test_haar_energies_matmul_path_parity(gray):

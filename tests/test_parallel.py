@@ -178,7 +178,8 @@ def test_tp_large_geometry_matches_replicated(mesh8):
     if os.environ.get("TPUDF_TP_LARGE_INNER") != "1":
         r = subprocess.run(
             [sys.executable, "-m", "pytest",
-             __file__ + "::test_tp_large_geometry_matches_replicated",
+             os.path.abspath(__file__)
+             + "::test_tp_large_geometry_matches_replicated",
              "-q", "-x"],
             env={**os.environ, "TPUDF_TP_LARGE_INNER": "1"},
             capture_output=True, text=True, timeout=1200)
@@ -218,6 +219,14 @@ def test_host_sharded_sampler_partitions_exactly():
     # different epochs shuffle differently
     assert not np.array_equal(per_host[0].epoch_order(0),
                               per_host[0].epoch_order(1))
+
+    # wrap-around padding must tile when global_batch > n (r3 review:
+    # order[:pad] was silently short, yielding undersized batches)
+    from tpudf.parallel.hostdata import HostShardedSampler as HSS
+    tiny = HSS(6, 16, seed=0, process_index=0, process_count=4)
+    (first,) = list(tiny.local_batches(0))
+    assert len(first) == 4                    # 16 / 4 hosts
+    assert len(tiny.epoch_order(0)) == 16
 
 
 def test_global_batch_from_host_shards_single_process(mesh8):

@@ -43,11 +43,13 @@ def parse_args(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="deploy the calibrated W8A8 tower (engine.quantize; "
                         "~1.7x throughput, pooled cosine > 0.99)")
+    from tpudf.ops.tome import CONSERVATIVE_TOME_R, DEPLOYED_TOME_R
     p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?",
                    help="ToMe token merging (ops/tome.py): merge r token "
-                        "pairs between tower blocks (~1.8x tower at the "
-                        "deployed r=48; conservative r=32). Bare --tome_r "
-                        "uses the certified DEPLOYED_TOME_R.")
+                        "pairs between tower blocks (~2.4x tower at the "
+                        f"deployed r={DEPLOYED_TOME_R}; conservative "
+                        f"r={CONSERVATIVE_TOME_R}). Bare --tome_r uses the "
+                        "certified DEPLOYED_TOME_R.")
     return p.parse_args(argv)
 
 

@@ -100,7 +100,13 @@ def main(argv=None):
             labels.append(batch["labels"])
         if not probs:
             return {"f1": 0.0}
-        return binary_metrics(np.concatenate(labels), np.concatenate(probs))
+        y = np.concatenate(labels)
+        p = np.clip(np.concatenate(probs), 1e-7, 1 - 1e-7)
+        # include val BCE: the learning-vs-memorization battery reads
+        # history['val_loss'] (eval/analysis.py default val_key) and the
+        # generalization-gap panels silently degenerate without it
+        loss = float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p)))
+        return {"loss": loss, **binary_metrics(y, p)}
 
     if args.evaluate_only:
         print("[evaluate_only]", eval_epoch(0))

@@ -309,7 +309,6 @@ def render_inference_report(labels, probs, save_dir, *, probs_cal=None,
     if threshold is None:
         threshold, _ = optimal_threshold(labels, probs, metric="f1")
     preds = (probs >= threshold).astype(int)
-    eval_probs = probs_cal if probs_cal is not None else probs
     out = {
         "confusion": plot_confusion(labels, preds, save_dir,
                                     class_names=class_names),
@@ -328,7 +327,11 @@ def render_inference_report(labels, probs, save_dir, *, probs_cal=None,
         "class_comparison": plot_class_comparison(
             labels, preds, save_dir, class_names=class_names),
     }
-    m = binary_metrics(labels, eval_probs, thr=float(threshold))
+    # metrics bars use the SAME (probs, threshold) pair as the confusion
+    # figures — evaluating calibrated probs at an uncalibrated-optimal
+    # threshold made the report's own figures disagree (r3 review);
+    # probs_cal only drives the reliability curve
+    m = binary_metrics(labels, probs, thr=float(threshold))
     m["auc"] = roc_auc(labels, probs)
     m["ap"] = average_precision(labels, probs)
     out["metrics"] = plot_metrics_bars(m, save_dir)

@@ -490,10 +490,8 @@ def _fused_with_vjp(scale: float, interpret: bool):
 
 
 def _on_tpu():
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from tpudf.core.backend import on_tpu
+    return on_tpu()
 
 
 def attention(q, k, v, scale=None, *, use_pallas=None, interpret=False):

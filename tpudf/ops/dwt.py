@@ -22,10 +22,8 @@ _INV_SQRT2 = 2.0 ** -0.5
 
 
 def _on_tpu():
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from tpudf.core.backend import on_tpu
+    return on_tpu()
 
 
 @functools.lru_cache(maxsize=4)

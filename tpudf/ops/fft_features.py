@@ -127,11 +127,8 @@ def fft2_shifted_matmul(gray, dtype=jnp.bfloat16):
 
 
 def _on_tpu():
-    try:
-        import jax
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from tpudf.core.backend import on_tpu
+    return on_tpu()
 
 
 def fft2_mag(x, *, shifted=False, use_matmul_dft=None):

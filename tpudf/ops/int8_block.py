@@ -32,10 +32,8 @@ from jax.experimental import pallas as pl
 
 
 def _on_tpu():
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from tpudf.core.backend import on_tpu
+    return on_tpu()
 
 
 def _quant_rows(y, a):

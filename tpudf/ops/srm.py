@@ -66,10 +66,8 @@ def srm_residuals(gray):
 
 
 def _on_tpu():
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from tpudf.core.backend import on_tpu
+    return on_tpu()
 
 
 def _shift2(x, di, dj):

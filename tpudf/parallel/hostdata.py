@@ -65,7 +65,9 @@ class HostShardedSampler:
             order = np.arange(self.n)
         pad = (-self.n) % self.global_batch
         if pad:
-            order = np.concatenate([order, order[:pad]])
+            # np.resize tiles the order as many times as needed — a plain
+            # order[:pad] slice is silently short when global_batch > n
+            order = np.concatenate([order, np.resize(order, pad)])
         return order
 
     def local_batches(self, epoch: int):

@@ -34,6 +34,9 @@ _PACKAGED_ASSET = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "assets", "face_landmarks.npz")
 
 
+_LM_MEMO = {}
+
+
 def get_landmark_params(allow_train: bool | None = None):
     """Load (or lazily pretrain + cache) the landmark net's params.
 
@@ -42,21 +45,34 @@ def get_landmark_params(allow_train: bool | None = None):
     `python -m tpudf.cli.face_pretrain`) → (if allow_train, or
     $TPUDF_FACE_TRAIN=1) synthetic pretraining
     (models/face_landmark.train_landmark_net, deterministic) cached to
-    disk → None (callers fall back to Haar box geometry)."""
+    disk → None (callers fall back to Haar box geometry).
+
+    The loaded params are memoized per resolved source — serving calls
+    this per clip, and re-reading + re-uploading the npz every request is
+    pure waste (None results are not memoized so a checkpoint appearing
+    later is still picked up)."""
     from tpudf.models.face_landmark import (load_landmark_net,
                                             train_landmark_net,
                                             save_landmark_net)
+    memo_key = (os.environ.get("TPUDF_FACE_CKPT", ""),)
+    if memo_key in _LM_MEMO:
+        return _LM_MEMO[memo_key]
+
+    def _remember(params):
+        if params is not None:
+            _LM_MEMO[memo_key] = params
+        return params
     path = os.environ.get("TPUDF_FACE_CKPT", "")
     if path and os.path.exists(path):
-        return load_landmark_net(path)
+        return _remember(load_landmark_net(path))
     if os.path.exists(_DEFAULT_CACHE):
         try:
-            return load_landmark_net(_DEFAULT_CACHE)
+            return _remember(load_landmark_net(_DEFAULT_CACHE))
         except ValueError:          # stale format: retrain below if allowed
             os.remove(_DEFAULT_CACHE)
     if os.path.exists(_PACKAGED_ASSET):
         try:
-            return load_landmark_net(_PACKAGED_ASSET)
+            return _remember(load_landmark_net(_PACKAGED_ASSET))
         except ValueError:
             pass                    # stale packaged format: retrain below
     if allow_train is None:
@@ -67,7 +83,7 @@ def get_landmark_params(allow_train: bool | None = None):
         "TPUDF_FACE_TRAIN_STEPS", "1500")))
     os.makedirs(os.path.dirname(_DEFAULT_CACHE), exist_ok=True)
     save_landmark_net(params, _DEFAULT_CACHE)
-    return params
+    return _remember(params)
 
 
 def detect_landmarks_batch(frames_rgb_uint8, lm_params, *,
