@@ -29,7 +29,7 @@ from tpudf.models.heads import init_binary_head
 from tpudf.models.siglip import CONFIGS, init_siglip
 from tpudf.ops.quant import (calibrate_siglip_act_scales,
                              quantize_siglip_static)
-from tpudf.ops.tome import DEPLOYED_TOME_R
+from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
 from tpudf.serve.engine import _detect_batch
 
 
@@ -50,9 +50,11 @@ def main():
     pixels = (jax.random.uniform(ks[4], (b, 256, 256, 3))
               * 255).astype(jnp.float32)
 
-    for name, r in (("int8_exact", 0), ("int8_tome64", DEPLOYED_TOME_R)):
+    floor = deployed_floor(cfg.grid * cfg.grid)
+    for name, r, fl in (("int8_exact", 0, 0),
+                        ("int8_tome64_f32", DEPLOYED_TOME_R, floor)):
         fn = functools.partial(_detect_batch, cfg=cfg, policy=DEFAULT_POLICY,
-                               cuts=cuts, tome_r=r)
+                               cuts=cuts, tome_r=r, tome_floor=fl)
         dt = devtime(fn, backbone, head, freq, fusion, pixels,
                      iters=4, reps=3)
         print(f"{name:14s} B={b}: {dt*1e3:8.2f} ms  "

@@ -33,7 +33,7 @@ def main():
     from tpudf.models.fusion import init_fusion_linear
     from tpudf.models.heads import init_binary_head
     from tpudf.models.siglip import CONFIGS, init_siglip
-    from tpudf.ops.tome import DEPLOYED_TOME_R
+    from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
     from tpudf.serve.engine import DetectEngine, _detect_batch_fast
 
     cfg = CONFIGS["base-256"]
@@ -43,7 +43,8 @@ def main():
                        freq=init_freq_mlp(ks[2]),
                        fusion=init_fusion_linear(ks[3]),
                        cuts=CoralCutpoints.default(),
-                       tome_r=DEPLOYED_TOME_R)
+                       tome_r=DEPLOYED_TOME_R,
+                       tome_floor=deployed_floor(cfg.grid * cfg.grid))
     rng = np.random.default_rng(0)
     calib = (rng.random((16, 256, 256, 3)) * 255).astype(np.uint8)
     eng.quantize(calib)
@@ -53,7 +54,8 @@ def main():
     frames = jnp.asarray(rng.random((B, 256, 256, 3)) * 255, jnp.float32)
     import functools
     fast = functools.partial(_detect_batch_fast, cfg=cfg, policy=eng.policy,
-                             cuts=eng.cuts, tome_r=eng.tome_r)
+                             cuts=eng.cuts, tome_r=eng.tome_r,
+                             tome_floor=eng.tome_floor)
     dt = devtime(lambda bb, h, f, fu, px: fast(bb, h, f, fu, px),
                  eng.backbone, eng.head, eng.freq, eng.fusion, frames,
                  iters=8, reps=3)

@@ -72,6 +72,42 @@ def test_merge_schedule_floor():
     assert all(r % 8 == 0 for r in sched)
 
 
+def test_deployed_floor_schedule():
+    """The deployed schedule (r=64, floor=S/8) reaches exactly 32 tokens at
+    base-256 geometry in four gaps: 256→192→128→64→32 (the measured
+    +22%-throughput point, ops/tome.py header)."""
+    from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
+
+    floor = deployed_floor(256)
+    assert floor == 32
+    sched = merge_schedule(256, 12, DEPLOYED_TOME_R, min_tokens=floor)
+    counts, t = [256], 256
+    for r in sched:
+        t -= r
+        counts.append(t)
+    assert counts[:5] == [256, 192, 128, 64, 32]
+    assert min(counts) == 32
+    assert deployed_floor(64) == 8      # test-geometry floor stays >= 8
+
+
+def test_tower_tome_floor_plumbed():
+    """tome_floor reaches merge_schedule: a deeper floor must yield fewer
+    surviving tokens than the default S/4 floor on the same tower."""
+    from tpudf.core.precision import DEFAULT_POLICY
+    from tpudf.models.siglip import CONFIGS, init_siglip, siglip_forward
+
+    cfg = CONFIGS["test-64"]   # 8x8 = 64 tokens, 2 layers -> one merge gap
+    s = cfg.image_size
+    params = init_siglip(jax.random.key(0), cfg)
+    px = jax.random.uniform(jax.random.key(1), (1, s, s, 3)) * 2 - 1
+    d = siglip_forward(params, px, cfg, DEFAULT_POLICY, tome_r=64)
+    f = siglip_forward(params, px, cfg, DEFAULT_POLICY, tome_r=64,
+                       tome_floor=48)
+    assert d["sizes"].shape[1] == 32   # default floor 16; t//2 cap binds
+    assert f["sizes"].shape[1] == 48   # explicit floor 48 binds first
+    assert float(jnp.sum(f["sizes"])) == 64.0  # sizes still partition S
+
+
 def test_identical_tokens_merge_is_exact():
     """All-identical tokens: merging must leave every surviving token equal
     to the original value, with sizes summing to S."""

@@ -118,7 +118,7 @@ def _engine_from_ckpt(ckpt, seed=0):
                         cuts=CoralCutpoints.default())
 
 
-def _auc_zsig(engine, imgs, labels, tome_r=0):
+def _auc_zsig(engine, imgs, labels, tome_r=0, tome_floor=0):
     import jax.numpy as jnp
     from tpudf.data.pipeline import normalize_siglip
     from tpudf.eval.metrics import roc_auc
@@ -127,7 +127,8 @@ def _auc_zsig(engine, imgs, labels, tome_r=0):
 
     x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
     feats = siglip_forward(engine.backbone, normalize_siglip(x), engine.cfg,
-                           engine.policy, tome_r=tome_r)["pooled"]
+                           engine.policy, tome_r=tome_r,
+                           tome_floor=tome_floor)["pooled"]
     z = np.asarray(apply_binary_head(engine.head, feats))
     return roc_auc(labels, z)
 
@@ -143,15 +144,24 @@ def test_int8_and_tome_preserve_end_task_auc(dataset, trained):
     auc_float = _auc_zsig(eng, imgs, labels)
     assert auc_float > 0.8
 
-    from tpudf.ops.tome import DEPLOYED_TOME_R, merge_schedule
-    # the certification must not be vacuous: the deployed rate must really
-    # merge tokens at this geometry (test-32's 4 tokens silently made the
-    # old cert a no-op)
+    from tpudf.ops.tome import (DEPLOYED_TOME_R, deployed_floor,
+                                merge_schedule)
+    # the certification must not be vacuous: the deployed schedule must
+    # really merge tokens at this geometry (test-32's 4 tokens silently
+    # made the old cert a no-op). With test-64's single merge gap the
+    # half-per-gap clip (t//2 = 32) binds before the S/8 floor can; the
+    # exact deployed base-256 schedule 256→192→128→64→32 is pinned by
+    # tests/test_tome.py::test_deployed_floor_schedule. Here we certify
+    # end-task AUC at the maximum merge the geometry allows (half the
+    # tokens in one gap — proportionally deeper than the deployed
+    # schedule's steepest single step).
     n_tok = (eng.cfg.image_size // eng.cfg.patch_size) ** 2
+    floor = deployed_floor(n_tok)
     sched = merge_schedule(n_tok, eng.cfg.layers, DEPLOYED_TOME_R,
-                           min_tokens=max(8, n_tok // 4))
-    assert sum(sched) > 0, sched
-    auc_tome = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R)
+                           min_tokens=floor)
+    assert sum(sched) >= n_tok // 2, (sched, n_tok)
+    auc_tome = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R,
+                         tome_floor=floor)
     assert abs(auc_tome - auc_float) <= 0.02, (auc_tome, auc_float)
 
     # quantize on REAL calibration data (train images), then re-measure
@@ -164,7 +174,8 @@ def test_int8_and_tome_preserve_end_task_auc(dataset, trained):
     auc_int8 = _auc_zsig(eng, imgs, labels)
     assert abs(auc_int8 - auc_float) <= 0.02, (auc_int8, auc_float)
 
-    auc_both = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R)
+    auc_both = _auc_zsig(eng, imgs, labels, tome_r=DEPLOYED_TOME_R,
+                         tome_floor=floor)
     assert abs(auc_both - auc_float) <= 0.03, (auc_both, auc_float)
 
     # conservative merge rate (cli --tome_r 32): certified to the same

@@ -46,10 +46,16 @@ def parse_args(argv=None):
     from tpudf.ops.tome import CONSERVATIVE_TOME_R, DEPLOYED_TOME_R
     p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?",
                    help="ToMe token merging (ops/tome.py): merge r token "
-                        "pairs between tower blocks (~2.4x tower at the "
+                        "pairs between tower blocks (~2.9x tower at the "
                         f"deployed r={DEPLOYED_TOME_R}; conservative "
                         f"r={CONSERVATIVE_TOME_R}). Bare --tome_r uses the "
-                        "certified DEPLOYED_TOME_R.")
+                        "certified deployed schedule (incl. its S/8 token "
+                        "floor); an explicit r keeps the conservative S/4 "
+                        "floor unless --tome_floor is given.")
+    p.add_argument("--tome_floor", type=int, default=0,
+                   help="minimum token count the ToMe schedule may merge "
+                        "down to (0 = S/4 default; the deployed schedule "
+                        "uses S/8 — fidelity sweep in ops/tome.py)")
     return p.parse_args(argv)
 
 
@@ -121,12 +127,18 @@ def build_engine(args, calib_uint8=None):
         with open(bc_path) as f:
             bayes_cal = BayesCalibration.from_json(json.load(f))
     tome_r = getattr(args, "tome_r", None)
+    tome_floor = getattr(args, "tome_floor", 0) or 0
     if tome_r is not None and tome_r < 0:
-        from tpudf.ops.tome import DEPLOYED_TOME_R
+        # bare --tome_r → the full certified deployed schedule (r + floor)
+        from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
         tome_r = DEPLOYED_TOME_R
+        if not tome_floor:
+            tome_floor = deployed_floor(
+                (cfg.image_size // cfg.patch_size) ** 2)
     eng = DetectEngine(cfg=cfg, backbone=backbone, head=head, freq=freq,
                        fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY,
-                       bayes_calibration=bayes_cal, tome_r=tome_r or 0)
+                       bayes_calibration=bayes_cal, tome_r=tome_r or 0,
+                       tome_floor=tome_floor)
     if getattr(args, "int8", False):
         # calibrate activation scales on the actual inputs when available
         # (synthetic-noise amax need not bound real-image activations)

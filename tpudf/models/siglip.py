@@ -459,6 +459,7 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
                    *, output_hidden_states: bool = False,
                    stop_grad_below: int = 0,
                    tome_r: int = 0,
+                   tome_floor: int = 0,
                    interpret: bool = False):
     """Run the vision tower.
 
@@ -473,7 +474,9 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
     blocks (ops/tome.py — ToMe, Bolya et al. 2023, with size-weighted
     proportional attention). Inference-only speed lever: ~1.5x tower
     throughput at r=16 on base-256; incompatible with hidden-state taps
-    and training (raises).
+    and training (raises). tome_floor: minimum token count the schedule
+    may merge down to (0 → the conservative S/4 default; the deployed
+    engine passes ops/tome.deployed_floor = S/8).
 
     stop_grad_below: when training with layers < k frozen (the reference's
     frozen recipe, Siglip2sidafrozen.py:754-770), setting k inserts a
@@ -506,10 +509,13 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
             raise ValueError("tome_r is an inference-only speed mode — "
                              "incompatible with hidden_states/training")
         from tpudf.ops.tome import merge_schedule, merge_step
-        # floor at 1/4 of the starting tokens (64 for base-256) — ToMe's
-        # off-the-shelf accuracy cliff sits below that
+        # default floor: 1/4 of the starting tokens (64 for base-256) — the
+        # conservative choice. The deployed engine passes the measured
+        # deeper floor (ops/tome.deployed_floor = S/8; fidelity/throughput
+        # sweep in ops/tome.py's header).
+        floor = int(tome_floor) if tome_floor else max(8, x.shape[1] // 4)
         sched = merge_schedule(x.shape[1], cfg.layers, int(tome_r),
-                               min_tokens=max(8, x.shape[1] // 4))
+                               min_tokens=floor)
         sizes = jnp.ones(x.shape[:2], jnp.float32)
         for i in range(cfg.layers):
             bp = cast(jax.tree.map(lambda a: a[i], blocks))

@@ -189,8 +189,8 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
     # image programs would run 64-row projection matmuls; grouping restores
     # ~512-row MXU tiles. Attention stays per-image inside the kernel.
     group = 1
-    for g in (8, 4, 2):
-        if b % g == 0 and g * s <= 512:
+    for g in (16, 8, 4, 2):          # 16 → full 512-row tiles at the S=32
+        if b % g == 0 and g * s <= 512:   # deployed-ToMe token floor
             group = g
             break
     # VMEM: qkv weights int8 (3Wa*W) + out (Wa*W) + qkv act (G*S*3Wa bf16)

@@ -28,18 +28,35 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Deployed merge rate for the serving engine / bench path. Measured on the
-# v5e at base-256 (B=256, int8 tower, structured images,
-# scripts/bench_tome.py): r=64 lifts the tower from ~5,360 to ~13,100
-# img/s at pooled-feature cosine 0.9971 mean / 0.9955 min vs the exact
-# bf16 full-token tower; end-task AUC is certified by
+# Deployed merge schedule for the serving engine / bench path. Measured on
+# the v5e at base-256 (B=256, int8 tower, structured images —
+# scripts/bench_tome.py and scripts/bench_tome_floor.py; pooled-feature
+# cosine vs the exact bf16 full-token tower):
+#
+#     r=64  floor=64 (S/4): 12,780 img/s  cos 0.9971 mean / 0.9956 min
+#     r=64  floor=32 (S/8): 15,563 img/s  cos 0.9966 mean / 0.9948 min  <- deployed
+#     r=96  floor=32      : 17,580 img/s  cos 0.9945 mean / 0.9912 min
+#     r=128 floor=32      : 18,893 img/s  cos 0.9923 mean / 0.9883 min
+#
+# The deployed point (r=64 merged per gap, token floor = S/8) costs ~0.0005
+# pooled cosine vs the old S/4 floor for +22% tower throughput — the extra
+# gap's merge happens at S=64 where surviving tokens are already size-
+# weighted cluster centroids. End-task AUC is certified by
 # tests/test_train_infer_e2e.py (ToMe-only within 0.02 AUC of float,
-# int8+ToMe within 0.03; r=32 'conservative' certified there too for
-# accuracy-sensitive callers — cli/infer --tome_r 32). The schedule clips
-# per-geometry (min_tokens = S/4, and never more than half the tokens per
-# gap), so the same constant is safe at every image size.
+# int8+ToMe within 0.03; r=32 'conservative' with the legacy S/4 floor is
+# certified there too for accuracy-sensitive callers — cli/infer
+# --tome_r 32). The schedule clips per-geometry (never below the floor and
+# never more than half the tokens per gap), so the same constants are safe
+# at every image size.
 DEPLOYED_TOME_R = 64
+DEPLOYED_TOME_FLOOR_DIV = 8      # deployed token floor = n_tokens // 8
 CONSERVATIVE_TOME_R = 32
+
+
+def deployed_floor(n_tokens: int) -> int:
+    """Deployed token floor for a tower that starts at n_tokens (base-256:
+    256 // 8 = 32). Floors below 8 are never useful (lane granularity)."""
+    return max(8, n_tokens // DEPLOYED_TOME_FLOOR_DIV)
 
 
 def merge_schedule(n_tokens: int, layers: int, r: int,

@@ -116,18 +116,21 @@ class DetectEngine:
     gbdt: Any = None
     bayes_calibration: Any = None
     # ToMe token merging (ops/tome.py): merge tome_r most-similar token
-    # pairs between consecutive tower blocks. Inference-only speed mode —
-    # end-task AUC certified within tolerance of the float/full-token model
-    # by tests/test_train_infer_e2e.py at DEPLOYED_TOME_R.
+    # pairs between consecutive tower blocks, never below tome_floor tokens
+    # (0 → the tower's conservative S/4 default). Inference-only speed
+    # mode — end-task AUC certified within tolerance of the float/
+    # full-token model by tests/test_train_infer_e2e.py at the deployed
+    # (DEPLOYED_TOME_R, deployed_floor) schedule.
     tome_r: int = 0
+    tome_floor: int = 0
 
     def __post_init__(self):
         self._detect = jax.jit(functools.partial(
             _detect_batch, cfg=self.cfg, policy=self.policy, cuts=self.cuts,
-            tome_r=self.tome_r))
+            tome_r=self.tome_r, tome_floor=self.tome_floor))
         self._detect_fast = jax.jit(functools.partial(
             _detect_batch_fast, cfg=self.cfg, policy=self.policy,
-            cuts=self.cuts, tome_r=self.tome_r))
+            cuts=self.cuts, tome_r=self.tome_r, tome_floor=self.tome_floor))
 
     def quantize(self, calib_uint8: np.ndarray | None = None):
         """Switch the backbone to the deployed W8A8 static-quant config
@@ -182,10 +185,12 @@ def _freq_gray(views_flat):
     return gray
 
 
-def _experts(backbone, head, freq, views_flat, cfg, policy, tome_r=0):
+def _experts(backbone, head, freq, views_flat, cfg, policy, tome_r=0,
+             tome_floor=0):
     """One fused forward of both experts over (N, S, S, 3) [0,1] views."""
     feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
-                           policy, tome_r=tome_r)["pooled"]
+                           policy, tome_r=tome_r, tome_floor=tome_floor
+                           )["pooled"]
     z_sig = apply_binary_head(head, feats)
     fv = extract_freq_vector(_freq_gray(views_flat))
     z_freq = apply_freq_mlp(freq, fv)
@@ -211,7 +216,7 @@ def _core_from_views(z_sig_v, z_freq_v, z_rot, weights, fusion, cuts):
 
 
 def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
-                  tome_r=0):
+                  tome_r=0, tome_floor=0):
     b, s, _, _ = pixels.shape
     x = pixels.astype(jnp.float32) / 255.0
 
@@ -232,7 +237,8 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
     nv = views.shape[1]
     views_flat = views.reshape(b * nv, s, s, 3)
     feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
-                           policy, tome_r=tome_r)["pooled"]
+                           policy, tome_r=tome_r,
+                           tome_floor=tome_floor)["pooled"]
     z_sig = apply_binary_head(head, feats).reshape(b, nv)
 
     # embedding-anomaly reference view: the plain full image's pooled
@@ -295,14 +301,14 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
 
 
 def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
-                       cuts, tome_r=0):
+                       cuts, tome_r=0, tome_floor=0):
     """fast_mode: full view + rot dual view only (multicrop off)."""
     b, s, _, _ = pixels.shape
     x = pixels.astype(jnp.float32) / 255.0
     views = jnp.stack([x, rot90_view(x)], axis=1)
     z_sig, z_freq = _experts(backbone, head, freq,
                              views.reshape(b * 2, s, s, 3), cfg, policy,
-                             tome_r)
+                             tome_r, tome_floor)
     z_sig = z_sig.reshape(b, 2)
     z_freq = z_freq.reshape(b, 2)
     vprob = 0.6 * jax.nn.sigmoid(z_sig[:, 0]) + 0.4 * jax.nn.sigmoid(z_sig[:, 1])
