@@ -368,6 +368,27 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret,
         bp = dict(bp)
         bp["attn"] = {"qkv_w": qkv_wq, "qkv_b": qkv_b,
                       "out_w": out_wq, "out_b": bp["attn"]["out_b"]}
+        inter = bp["mlp"]["fc1_w"]["q"].shape[-1]
+        if inter % 128:
+            # lane-align the MLP hidden dim (so400m inter=4304 → 4352) so
+            # the fused int8 MLP kernel applies: zero fc1 columns give
+            # gelu(0)=0 hidden entries which the zero fc2 rows then ignore —
+            # exact algebra, same trick as the head padding above. Scale
+            # pads with 1 (their columns are all-zero anyway).
+            ip = ((inter + 127) // 128) * 128
+            m = bp["mlp"]
+            bp["mlp"] = {
+                "fc1_w": {"q": jnp.pad(m["fc1_w"]["q"],
+                                       ((0, 0), (0, ip - inter))),
+                          "scale": jnp.pad(m["fc1_w"]["scale"],
+                                           (0, ip - inter),
+                                           constant_values=1.0)},
+                "fc1_b": jnp.pad(m["fc1_b"], (0, ip - inter)),
+                "fc2_w": {"q": jnp.pad(m["fc2_w"]["q"],
+                                       ((0, ip - inter), (0, 0))),
+                          "scale": m["fc2_w"]["scale"]},
+                "fc2_b": m["fc2_b"],
+            }
         # measured on v5e, base-256 B=256: FPP 5027 img/s (fused attention
         # sublayer + MLP kernel), LLL 5009 (whole-layer megakernel),
         # PPP 4439, XXX 3998. FPP default; LLL kept for other geometries.

@@ -201,11 +201,16 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
             group = g
             break
     # VMEM: qkv weights int8 (3Wa*W) + out (Wa*W) + qkv act (G*S*3Wa bf16)
-    #       + scores (S*S f32, sequential per head/image) + x/out tiles
+    #       + scores (S*S f32, sequential per head/image) + concat/x/out
     vmem = (4 * w * wa + group * s * 3 * wa * 2 + s * s * 4
-            + 3 * group * s * w * 4)
+            + 2 * group * s * w * 4 + group * s * wa * 4)
+    # above the default 16 MB scoped limit the kernel still fits v5e's
+    # 128 MB physical VMEM — raise the Mosaic limit instead of falling back
+    # to the split-kernel path (large-384 S=576: est ~17 MB, measured
+    # faster fused; cap keeps double-buffering headroom for the x tiles)
     fits = vmem <= 12 * 1024 * 1024
-    if (_on_tpu() or interpret) and lane_ok and aligned and fits:
+    big_ok = vmem <= 48 * 1024 * 1024
+    if (_on_tpu() or interpret) and lane_ok and aligned and big_ok:
         a2 = jnp.stack([jnp.asarray(a_qkv, jnp.float32).reshape(()),
                         jnp.asarray(a_out, jnp.float32).reshape(())])
         # (B, 1, S): Mosaic requires a block's trailing two dims be
@@ -216,8 +221,14 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
         kernel = functools.partial(
             _attn_sublayer_kernel, heads=heads, head_dim=head_dim,
             scale=scale, eps=float(eps), group=group)
+        params = None
+        if not fits:
+            from jax.experimental.pallas import tpu as pltpu
+            params = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             kernel,
+            compiler_params=params,
             grid=(b // group,),
             in_specs=[
                 pl.BlockSpec((group, s, w), lambda i: (i, 0, 0)),

@@ -119,6 +119,15 @@ def _mlp_block_pallas_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s,
     n, w = x2d.shape
     inter = w1q.shape[1]
     rows = min(block_rows, n)
+    # keep the per-program working set (int8 weights + f32 hidden + row
+    # tiles) under the scoped-VMEM limit for wide geometries (so400m's
+    # padded inter=4352) — same adaptive shrink as ops/int8_block.ln_qkv
+    # threshold calibrated on the v5e: large-384 (w=1024, inter=4096,
+    # est 21 MB) runs at 512 rows; the padded so400m (w=1152, inter=4352,
+    # est 23.6 MB) must shrink
+    while rows > 128 and (2 * w * inter + rows * inter * 4
+                          + 4 * rows * w * 2) > 22 * 1024 * 1024:
+        rows //= 2
     pad = (-n) % rows
     if pad:
         x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
