@@ -1,12 +1,13 @@
 """ToMe (r, token-floor) sweep on the int8 tower (real chip).
 
-The deployed schedule (r=64, floor = S/4 = 64 tokens) leaves the tower at
-its int8-matmul roofline *for that token count*; the only way further down
-is fewer token-layers. Projection FLOPs scale with the sum of per-layer
-token counts, so for base-256/12-layer:
+At any fixed token count the tower runs at its int8-matmul roofline; the
+only way further down is fewer token-layers. This sweep is what selected
+the deployed schedule (r=64, floor = S/8 = 32 tokens — ops/tome.py).
+Projection FLOPs scale with the sum of per-layer token counts, so for
+base-256/12-layer:
 
-    r=64  floor=64 : 256+192+128+64*9          = 1152 token-layers (deployed)
-    r=64  floor=32 : 256+192+128+64+32*8       =  896  (-22%)
+    r=64  floor=64 : 256+192+128+64*9          = 1152 token-layers
+    r=64  floor=32 : 256+192+128+64+32*8       =  896  (-22%, deployed)
     r=96  floor=32 : 256+160+80+40+32*8        =  792  (-31%)
     r=128 floor=32 : 256+128+64+32*9           =  736  (-36%)
 

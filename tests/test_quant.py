@@ -122,3 +122,33 @@ def test_static_quant_geometries(width, layers, heads, mlp, img):
     cos = np.sum(ref * out, 1) / (np.linalg.norm(ref, axis=1)
                                   * np.linalg.norm(out, axis=1))
     assert cos.min() > 0.98
+
+
+def test_prepad_matches_in_graph_padding():
+    """prepad_siglip_static (one-time weight lane-alignment at quantize
+    time) must produce EXACTLY the forward of the un-prepadded tree, whose
+    _block_apply pads the same weights in-graph (so400m-like head_dim=72
+    and a non-128-aligned MLP hidden dim exercise both pad families)."""
+    from tpudf.models.siglip import SigLIPConfig
+    from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                 prepad_siglip_static,
+                                 quantize_siglip_static)
+
+    cfg = SigLIPConfig(144, 2, 2, 304, 32, 16)
+    bb = init_siglip(jax.random.key(0), cfg)
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    scales = calibrate_siglip_act_scales(bb, cfg, calib, F32_POLICY)
+    qbb = quantize_siglip_static(bb, scales)
+    pre = prepad_siglip_static(qbb, cfg)
+    # padded shapes: head 72 -> 128 slots, mlp 304 -> 384
+    assert pre["blocks"]["attn"]["qkv_w"]["q"].shape[-1] == 3 * 2 * 128
+    assert pre["blocks"]["mlp"]["fc1_w"]["q"].shape[-1] == 384
+    # idempotent
+    pre2 = prepad_siglip_static(pre, cfg)
+    assert (pre2["blocks"]["attn"]["qkv_w"]["q"].shape
+            == pre["blocks"]["attn"]["qkv_w"]["q"].shape)
+    px = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    a = np.asarray(siglip_forward(qbb, px, cfg, F32_POLICY)["pooled"])
+    b = np.asarray(siglip_forward(pre, px, cfg, F32_POLICY)["pooled"])
+    np.testing.assert_array_equal(a, b)

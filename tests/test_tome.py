@@ -91,8 +91,9 @@ def test_deployed_floor_schedule():
 
 
 def test_tower_tome_floor_plumbed():
-    """tome_floor reaches merge_schedule: a deeper floor must yield fewer
-    surviving tokens than the default S/4 floor on the same tower."""
+    """tome_floor reaches merge_schedule: an explicit floor of 48 must stop
+    merging above the default path's 32-token result (default floor 16 with
+    the t//2-per-step cap binds at 32), so MORE tokens survive."""
     from tpudf.core.precision import DEFAULT_POLICY
     from tpudf.models.siglip import CONFIGS, init_siglip, siglip_forward
 

@@ -342,28 +342,32 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret,
             # lane-align heads by zero-padding each head's slot in the INT8
             # weights (so400m d=72 → 128), exactly as the bf16 path above:
             # padded dims contribute zero scores/outputs; per-column weight
-            # scales pad with 1 (their columns are all-zero anyway)
+            # scales pad with 1 (their columns are all-zero anyway).
+            # quant.prepad_siglip_static does these pads ONCE at quantize
+            # time (the shape check below skips them here); this in-graph
+            # fallback keeps un-prepadded param trees working.
             dp = ((d + 127) // 128) * 128
             attn_scale = d ** -0.5
             w_ = qkv_wq["q"].shape[0]
-            qkv_wq = {
-                "q": jnp.pad(
-                    qkv_wq["q"].reshape(w_, 3, heads, d),
-                    ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
-                        w_, 3 * heads * dp),
-                "scale": jnp.pad(
-                    qkv_wq["scale"].reshape(3, heads, d),
-                    ((0, 0), (0, 0), (0, dp - d)),
-                    constant_values=1.0).reshape(-1),
-            }
-            qkv_b = jnp.pad(qkv_b.reshape(3, heads, d),
-                            ((0, 0), (0, 0), (0, dp - d))).reshape(-1)
-            out_wq = {
-                "q": jnp.pad(out_wq["q"].reshape(heads, d, w_),
-                             ((0, 0), (0, dp - d), (0, 0))).reshape(
-                                 heads * dp, w_),
-                "scale": out_wq["scale"],
-            }
+            if not qkv_wq["q"].shape[1] == 3 * heads * dp:
+                qkv_wq = {
+                    "q": jnp.pad(
+                        qkv_wq["q"].reshape(w_, 3, heads, d),
+                        ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
+                            w_, 3 * heads * dp),
+                    "scale": jnp.pad(
+                        qkv_wq["scale"].reshape(3, heads, d),
+                        ((0, 0), (0, 0), (0, dp - d)),
+                        constant_values=1.0).reshape(-1),
+                }
+                qkv_b = jnp.pad(qkv_b.reshape(3, heads, d),
+                                ((0, 0), (0, 0), (0, dp - d))).reshape(-1)
+                out_wq = {
+                    "q": jnp.pad(out_wq["q"].reshape(heads, d, w_),
+                                 ((0, 0), (0, dp - d), (0, 0))).reshape(
+                                     heads * dp, w_),
+                    "scale": out_wq["scale"],
+                }
             d = dp
         bp = dict(bp)
         bp["attn"] = {"qkv_w": qkv_wq, "qkv_b": qkv_b,

@@ -88,10 +88,11 @@ def ln_qkv_int8(x, ln_params, wq_dict, bias, act_scale, eps=1e-6, *,
     rows = min(block_rows, n)
     # VMEM per program: int8 weight (w*n3) + f32 accumulator (rows*n3*4) +
     # double-buffered in/out tiles. Wide-n3 geometries (so400m's padded
-    # 3*Wa = 6144) blow the 16 MB scoped limit at rows=512 — shrink the row
-    # block until the working set fits (measured: 21 MB at 512 rows).
+    # 3*Wa = 6144, est 27 MB) blow the 16 MB scoped limit at rows=512 —
+    # shrink the row block until the working set fits. Threshold sits above
+    # base-256's 512-row estimate (12.8 MB, known-good at full tiles).
     while rows > 128 and (w * n3 + rows * n3 * 4 + 2 * rows * (w + n3) * 2
-                          ) > 12 * 1024 * 1024:
+                          ) > 14 * 1024 * 1024:
         rows //= 2
     pad = (-n) % rows
     if pad:

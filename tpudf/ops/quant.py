@@ -167,12 +167,73 @@ def calibrate_siglip_act_scales(params, cfg, pixels, policy=None):
     return {k: jnp.stack(v).astype(jnp.float32) for k, v in scales.items()}
 
 
-def quantize_siglip_static(params, act_scales):
+def quantize_siglip_static(params, act_scales, cfg=None):
     """Static-activation-scale int8 param tree: quantize_siglip layout plus
-    per-layer activation scales under blocks["act_scales"]."""
+    per-layer activation scales under blocks["act_scales"]. Pass cfg to
+    also pre-pad the weights for the fused kernels (prepad_siglip_static) —
+    otherwise lane-misaligned geometries (so400m) pad per forward."""
     out = quantize_siglip(params)
     out["blocks"]["act_scales"] = {k: jnp.asarray(v, jnp.float32)
                                    for k, v in act_scales.items()}
+    if cfg is not None:
+        out = prepad_siglip_static(out, cfg)
+    return out
+
+
+def prepad_siglip_static(params, cfg):
+    """One-time lane-alignment of the stacked static-int8 weights for the
+    fused kernels: zero-pad each head's slot to a 128 lane multiple
+    (so400m head_dim 72 → 128) and the MLP hidden dim to a 128 multiple
+    (so400m 4304 → 4352). Exact algebra — padded QKV columns produce zero
+    scores/outputs, padded fc1 columns give gelu(0)=0 hidden entries which
+    the zero fc2 rows ignore (see models/siglip._block_apply, which does
+    these same pads per forward when it sees unpadded weights; pre-padding
+    removes ~20 MB/layer of runtime jnp.pad HBM traffic). Scales pad with
+    1 (their columns are all-zero anyway). No-op for aligned geometries."""
+    d, heads = cfg.head_dim, cfg.heads
+    blocks = dict(params["blocks"])
+    if not (d % 128 == 0 or 128 % d == 0):
+        dp = ((d + 127) // 128) * 128
+        attn = dict(blocks["attn"])
+        qkv = attn["qkv_w"]
+        nl, w_, n3 = qkv["q"].shape
+        if n3 != 3 * heads * dp:
+            pad5 = ((0, 0), (0, 0), (0, 0), (0, 0), (0, dp - d))
+            pad4 = ((0, 0), (0, 0), (0, 0), (0, dp - d))
+            attn["qkv_w"] = {
+                "q": jnp.pad(qkv["q"].reshape(nl, w_, 3, heads, d),
+                             pad5).reshape(nl, w_, 3 * heads * dp),
+                "scale": jnp.pad(qkv["scale"].reshape(nl, 3, heads, d),
+                                 pad4, constant_values=1.0
+                                 ).reshape(nl, 3 * heads * dp),
+            }
+            attn["qkv_b"] = jnp.pad(
+                attn["qkv_b"].reshape(nl, 3, heads, d), pad4
+            ).reshape(nl, 3 * heads * dp)
+            ow = attn["out_w"]
+            attn["out_w"] = {
+                "q": jnp.pad(ow["q"].reshape(nl, heads, d, w_),
+                             ((0, 0), (0, 0), (0, dp - d), (0, 0))
+                             ).reshape(nl, heads * dp, w_),
+                "scale": ow["scale"],
+            }
+            blocks["attn"] = attn
+    inter = blocks["mlp"]["fc1_w"]["q"].shape[-1]
+    if inter % 128:
+        ip = ((inter + 127) // 128) * 128
+        m = dict(blocks["mlp"])
+        m["fc1_w"] = {"q": jnp.pad(m["fc1_w"]["q"],
+                                   ((0, 0), (0, 0), (0, ip - inter))),
+                      "scale": jnp.pad(m["fc1_w"]["scale"],
+                                       ((0, 0), (0, ip - inter)),
+                                       constant_values=1.0)}
+        m["fc1_b"] = jnp.pad(m["fc1_b"], ((0, 0), (0, ip - inter)))
+        m["fc2_w"] = {"q": jnp.pad(m["fc2_w"]["q"],
+                                   ((0, 0), (0, ip - inter), (0, 0))),
+                      "scale": m["fc2_w"]["scale"]}
+        blocks["mlp"] = m
+    out = dict(params)
+    out["blocks"] = blocks
     return out
 
 

@@ -155,7 +155,8 @@ class DetectEngine:
         norm = normalize_siglip(jnp.asarray(calib, jnp.float32))
         scales = calibrate_siglip_act_scales(self.backbone, self.cfg, norm,
                                              self.policy)
-        self.backbone = quantize_siglip_static(self.backbone, scales)
+        self.backbone = quantize_siglip_static(self.backbone, scales,
+                                               self.cfg)
         return self
 
     def predict_batch(self, pixels_uint8: np.ndarray) -> dict:
