@@ -35,19 +35,20 @@ from tpudf.serve.engine import _detect_batch
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    cfg = CONFIGS["base-256"]
+    cfg = CONFIGS[sys.argv[2] if len(sys.argv) > 2 else "base-256"]
     ks = jax.random.split(jax.random.key(0), 5)
     backbone = init_siglip(ks[0], cfg)
     head = init_binary_head(ks[1], cfg.width)
     freq = init_freq_mlp(ks[2])
     fusion = init_fusion_linear(ks[3])
     cuts = CoralCutpoints.default()
-    calib = (jax.random.uniform(ks[4], (16, 256, 256, 3)) - 0.5) / 0.5
+    s_img = cfg.image_size
+    calib = (jax.random.uniform(ks[4], (16, s_img, s_img, 3)) - 0.5) / 0.5
     backbone = jax.jit(lambda bb, px: quantize_siglip_static(
-        bb, calibrate_siglip_act_scales(bb, cfg, px, DEFAULT_POLICY))
+        bb, calibrate_siglip_act_scales(bb, cfg, px, DEFAULT_POLICY), cfg)
     )(backbone, calib)
 
-    pixels = (jax.random.uniform(ks[4], (b, 256, 256, 3))
+    pixels = (jax.random.uniform(ks[4], (b, s_img, s_img, 3))
               * 255).astype(jnp.float32)
 
     floor = deployed_floor(cfg.grid * cfg.grid)
