@@ -45,9 +45,7 @@ def main():
     mtl_cfg = MTLConfig(backbone=cfg, seg_layers=(0, 5, 11), embed_dim=256)
     params = init_mtl(jax.random.key(0), mtl_cfg)
     opt = optax.adamw(1e-4)
-    init_fn, step = make_mtl_train_step(mtl_cfg, opt, DEFAULT_POLICY,
-                                        freeze_below=9, seg_loss="bce_dice")
-    state = init_fn(params)
+    from tpudf.train.mtl import quantize_frozen_prefix
     batch = {
         "pixels": jnp.asarray(rng.random((b, 256, 256, 3), np.float32)),
         "cls": jnp.asarray(rng.integers(0, 3, b), jnp.int32),
@@ -56,14 +54,25 @@ def main():
         "has_mask": jnp.asarray((np.arange(b) % 3 == 2)
                                 .astype(np.float32)),
     }
-    def stepper(s, b, px):
-        st, metrics = step(s, {**b, "pixels": px}, jax.random.key(1),
-                           1.0, 0.5)
-        return metrics
-    dt = devtime(stepper, state, batch, batch["pixels"], iters=5, reps=3)
-    print(json.dumps({"metric": "mtl_train_step_base256_top3_unfrozen",
-                      "batch": b, "ms": round(dt * 1e3, 1),
-                      "img_per_s": round(b / dt, 1)}))
+    for tag, fq in (("bf16_frozen", None),
+                    ("int8_frozen", quantize_frozen_prefix(
+                        params, mtl_cfg, batch["pixels"][:16],
+                        DEFAULT_POLICY, 9))):
+        init_fn, step = make_mtl_train_step(
+            mtl_cfg, opt, DEFAULT_POLICY, freeze_below=9,
+            seg_loss="bce_dice", frozen_q=fq)
+        state = init_fn(params)
+
+        def stepper(s, b, px):
+            st, metrics = step(s, {**b, "pixels": px}, jax.random.key(1),
+                               1.0, 0.5)
+            return metrics
+        dt = devtime(stepper, state, batch, batch["pixels"], iters=5,
+                     reps=3)
+        print(json.dumps({
+            "metric": f"mtl_train_step_base256_top3_unfrozen_{tag}",
+            "batch": b, "ms": round(dt * 1e3, 1),
+            "img_per_s": round(b / dt, 1)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -49,3 +49,16 @@ def test_train_mtl_cli_local(sid_dataset, tmp_path):
                                                   "training_log.csv"))))
     assert len(rows) >= 1
     assert "val_dice" in rows[0]
+
+
+def test_train_mtl_cli_int8_frozen(sid_dataset, tmp_path):
+    """--int8_frozen smoke: frozen prefix on the W8A8 kernels end to end
+    through the CLI (calibration on the first training examples)."""
+    from tpudf.cli.train_mtl import main
+    save = str(tmp_path / "run_q")
+    main(["--data_dir", sid_dataset, "--save_dir", save,
+          "--model_size", "test-32", "--image_size", "32",
+          "--seg_layers", "0", "-1", "--embed_dim", "16",
+          "--freeze_below", "1", "--epochs", "1", "--batch_size", "4",
+          "--seg_loss", "bce_dice", "--int8_frozen"])
+    assert os.path.exists(os.path.join(save, "training_log.csv"))

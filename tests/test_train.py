@@ -180,3 +180,59 @@ def test_stop_grad_below_grads_match_and_prefix_zero():
                      jax.tree.leaves(g_stop["backbone"]["blocks"])):
         np.testing.assert_allclose(np.asarray(a)[k:], np.asarray(b_)[k:],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_mtl_int8_frozen_prefix():
+    """frozen_q runs the frozen prefix on the W8A8 kernels inside the train
+    step: frozen leaves stay exactly frozen, trainable leaves still move,
+    the step differentiates cleanly (tangent severed before the int8 scan),
+    and the trainable-parameter grads track the float-frozen path."""
+    import optax
+
+    from tpudf.train.mtl import mtl_loss_fn, quantize_frozen_prefix
+
+    cfg = MTLConfig(backbone=CFG, seg_layers=(0, -1), embed_dim=32)
+    params = init_mtl(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+    fq = quantize_frozen_prefix(params, cfg, calib, F32_POLICY,
+                                freeze_below=1)
+    # sliced to the frozen prefix (1 of 2 layers), int8 weights
+    assert fq["attn"]["qkv_w"]["q"].shape[0] == 1
+    assert fq["attn"]["qkv_w"]["q"].dtype == jnp.int8
+
+    opt = optax.adamw(1e-3)
+    init_fn, step = make_mtl_train_step(cfg, opt, F32_POLICY,
+                                        freeze_below=1,
+                                        seg_loss="bce_dice", frozen_q=fq)
+    state = init_fn(params)
+    b = 4
+    batch = {
+        "pixels": jnp.asarray(rng.random((b, 32, 32, 3), np.float32)),
+        "cls": jnp.asarray([0, 1, 2, 2]),
+        "mask": jnp.asarray((rng.random((b, 32, 32)) > 0.5)
+                            .astype(np.float32)),
+        "has_mask": jnp.asarray([0.0, 0.0, 1.0, 1.0]),
+    }
+    before = jax.tree.map(np.asarray, state.params)
+    state, metrics = jax.jit(step)(state, batch, jax.random.key(0), 1.0, 0.5)
+    after = state.params
+    np.testing.assert_array_equal(
+        before["backbone"]["blocks"]["mlp"]["fc1_w"][0],
+        np.asarray(after["backbone"]["blocks"]["mlp"]["fc1_w"][0]))
+    assert not np.allclose(
+        before["backbone"]["blocks"]["mlp"]["fc1_w"][1],
+        np.asarray(after["backbone"]["blocks"]["mlp"]["fc1_w"][1]))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # trainable grads with the int8 prefix track the float-frozen grads
+    gf = jax.grad(lambda p: mtl_loss_fn(p, batch, cfg, F32_POLICY, 1.0,
+                                        0.5, "bce_dice",
+                                        stop_grad_below=1)[0])(params)
+    gq = jax.grad(lambda p: mtl_loss_fn(p, batch, cfg, F32_POLICY, 1.0,
+                                        0.5, "bce_dice", stop_grad_below=1,
+                                        frozen_blocks_q=fq)[0])(params)
+    a = np.asarray(gf["backbone"]["blocks"]["mlp"]["fc1_w"][1]).ravel()
+    b2 = np.asarray(gq["backbone"]["blocks"]["mlp"]["fc1_w"][1]).ravel()
+    corr = np.corrcoef(a, b2)[0, 1]
+    assert corr > 0.95, corr

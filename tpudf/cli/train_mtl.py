@@ -25,6 +25,11 @@ def parse_args(argv=None):
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--freeze_below", type=int, default=21)
     p.add_argument("--no_freeze", action="store_true")
+    p.add_argument("--int8_frozen", action="store_true",
+                   help="run the frozen backbone prefix on the fused W8A8 "
+                        "int8 kernels inside the train step (calibrated on "
+                        "the first training batch; 2x MXU rate on the "
+                        "frozen layers)")
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--accum_steps", type=int, default=1)
@@ -137,10 +142,20 @@ def main(argv=None):
 
     optimizer = make_optimizer(args.lr, total_steps=max(
         len(train_data) // args.batch_size, 1) * args.epochs)
+    frozen_q = None
+    if args.int8_frozen and not args.no_freeze:
+        from tpudf.train.mtl import quantize_frozen_prefix
+        calib = normalize_siglip(jnp.asarray(np.stack(
+            [train_data[i]["pixels"] for i in
+             range(min(16, len(train_data)))])).astype(jnp.float32) / 255.0)
+        frozen_q = quantize_frozen_prefix(params, cfg, calib,
+                                          DEFAULT_POLICY,
+                                          args.freeze_below)
     init_fn, step = make_mtl_train_step(
         cfg, optimizer, DEFAULT_POLICY,
         freeze_below=None if args.no_freeze else args.freeze_below,
-        seg_loss=args.seg_loss, accum_steps=args.accum_steps)
+        seg_loss=args.seg_loss, accum_steps=args.accum_steps,
+        frozen_q=frozen_q)
     eval_step = jax.jit(make_mtl_eval_step(cfg, DEFAULT_POLICY))
     step = jax.jit(step)
     state_box = {"state": init_fn(params), "mask_thr": args.mask_thr}

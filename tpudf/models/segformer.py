@@ -116,7 +116,7 @@ def init_mtl(key, cfg: MTLConfig, backbone_params=None):
 
 def mtl_forward(params, pixels, cfg: MTLConfig,
                 policy: Policy = DEFAULT_POLICY, cls_dropout_rng=None,
-                dropout_rate=0.0, stop_grad_below=0):
+                dropout_rate=0.0, stop_grad_below=0, frozen_blocks_q=None):
     """pixels: (B, S, S, 3) → (cls_logits (B,3), seg_logits (B,S,S)).
 
     Mirrors SigLIP2_MTL.forward (siglip2siddataset.py:777-786): pooled output
@@ -126,7 +126,8 @@ def mtl_forward(params, pixels, cfg: MTLConfig,
     """
     out = siglip_forward(params["backbone"], pixels, cfg.backbone, policy,
                          output_hidden_states=True,
-                         stop_grad_below=stop_grad_below)
+                         stop_grad_below=stop_grad_below,
+                         frozen_blocks_q=frozen_blocks_q)
     pooled = out["pooled"]
     if cls_dropout_rng is not None and dropout_rate > 0:
         keep = 1.0 - dropout_rate

@@ -483,6 +483,7 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
                    policy: Policy = DEFAULT_POLICY,
                    *, output_hidden_states: bool = False,
                    stop_grad_below: int = 0,
+                   frozen_blocks_q=None,
                    tome_r: int = 0,
                    tome_floor: int = 0,
                    interpret: bool = False):
@@ -509,6 +510,15 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
     taps) so XLA dead-code-eliminates the entire backward pass of the frozen
     prefix — ~2x train-step FLOPs saved when most layers are frozen. Zero
     effect on any trainable parameter's gradient.
+
+    frozen_blocks_q: optional stacked static-int8 block slice covering the
+    first stop_grad_below layers (train/mtl.quantize_frozen_prefix). The
+    frozen prefix then runs the fused W8A8 inference kernels (2x int8 MXU
+    rate) — the TPU-native analogue of the reference's 8-bit
+    frozen-backbone economy (bitsandbytes, siglip2siddataset.py:1219-1225).
+    The tangent is severed BEFORE the prefix (the int8 Pallas kernels
+    define no VJP); embeddings are frozen whenever layers are, so this
+    changes no trainable gradient beyond the int8 activation rounding.
     """
     b, h, w, _ = pixels.shape
     patch = cfg.patch_size
@@ -570,7 +580,15 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
 
     k = max(0, min(int(stop_grad_below), cfg.layers))
     if k > 0:
-        lo = jax.tree.map(lambda a: a[:k], blocks)
+        if frozen_blocks_q is not None:
+            # frozen prefix on the W8A8 inference kernels: sever the
+            # tangent BEFORE the scan — the int8 Pallas kernels have no
+            # VJP, and with a zero tangent entering, JAX prunes the
+            # prefix's JVP entirely (embeddings are frozen with the layers)
+            x = jax.lax.stop_gradient(x)
+            lo = frozen_blocks_q
+        else:
+            lo = jax.tree.map(lambda a: a[:k], blocks)
         hi = jax.tree.map(lambda a: a[k:], blocks)
         x, st_lo = jax.lax.scan(body, x, lo)
         x = jax.lax.stop_gradient(x)

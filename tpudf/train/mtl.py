@@ -43,10 +43,11 @@ def _masked_seg_loss(seg_logits, masks, has_mask, kind="combined"):
 
 def mtl_loss_fn(params, batch, cfg: MTLConfig, policy, cls_w, seg_w,
                 seg_loss="combined", label_smoothing=0.0, rng=None,
-                stop_grad_below=0):
+                stop_grad_below=0, frozen_blocks_q=None):
     cls_logits, seg_logits = mtl_forward(params, batch["pixels"], cfg, policy,
                                          cls_dropout_rng=rng,
-                                         stop_grad_below=stop_grad_below)
+                                         stop_grad_below=stop_grad_below,
+                                         frozen_blocks_q=frozen_blocks_q)
     l_cls = softmax_ce(cls_logits, batch["cls"], 3, label_smoothing)
     l_seg = _masked_seg_loss(seg_logits, batch["mask"], batch["has_mask"],
                              seg_loss)
@@ -94,15 +95,41 @@ class MTLTrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def quantize_frozen_prefix(params, cfg: MTLConfig, calib_pixels, policy,
+                           freeze_below: int = 21):
+    """Static-int8 (W8A8) copy of the FROZEN backbone prefix for training:
+    calibrate activation scales on a representative batch, quantize, and
+    slice the stacked blocks to the first freeze_below layers. Pass the
+    result as make_mtl_train_step(frozen_q=...) — the frozen layers then
+    run the fused int8 inference kernels at the 2x MXU rate inside the
+    train step (the trainable suffix and decoder stay bf16). TPU-native
+    analogue of the reference's 8-bit frozen-backbone economy
+    (bitsandbytes AdamW8bit, siglip2siddataset.py:1219-1225) applied to
+    compute rather than optimizer state."""
+    from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                 quantize_siglip_static)
+    k = max(0, min(int(freeze_below), cfg.backbone.layers))
+    scales = calibrate_siglip_act_scales(params["backbone"], cfg.backbone,
+                                         calib_pixels, policy)
+    q = quantize_siglip_static(params["backbone"], scales, cfg.backbone)
+    return jax.tree.map(lambda a: a[:k], q["blocks"])
+
+
 def make_mtl_train_step(cfg: MTLConfig, optimizer, policy, *,
                         freeze_below: int | None = 21,
-                        seg_loss="combined", accum_steps: int = 1):
+                        seg_loss="combined", accum_steps: int = 1,
+                        frozen_q=None):
     """Returns (init_fn, step_fn). step(state, batch, rng, cls_w, seg_w).
 
     Gradient accumulation: batch leading dim = accum_steps * micro_batch;
     grads are averaged over micro-steps with lax.scan (static shapes, one
     optimizer update per call — same semantics as the reference accumulation,
-    siglip2siddataset.py:1373-1380)."""
+    siglip2siddataset.py:1373-1380).
+
+    frozen_q: optional quantize_frozen_prefix output — runs the frozen
+    prefix on the W8A8 kernels (requires freeze_below)."""
+    if frozen_q is not None and not freeze_below:
+        raise ValueError("frozen_q requires freeze_below")
 
     def init_fn(params):
         return MTLTrainState(params, optimizer.init(params),
@@ -117,7 +144,8 @@ def make_mtl_train_step(cfg: MTLConfig, optimizer, policy, *,
         (loss, metrics), grads = jax.value_and_grad(
             mtl_loss_fn, has_aux=True)(params, micro, cfg, policy,
                                        cls_w, seg_w, seg_loss, rng=rng,
-                                       stop_grad_below=sgb)
+                                       stop_grad_below=sgb,
+                                       frozen_blocks_q=frozen_q)
         return grads, metrics
 
     def step(state: MTLTrainState, batch, rng, cls_w, seg_w):
