@@ -75,5 +75,43 @@ def main():
             "img_per_s": round(b / dt, 1)}), flush=True)
 
 
+def main_binary():
+    from tpudf.core.precision import DEFAULT_POLICY
+    from tpudf.models.heads import init_binary_head
+    from tpudf.models.siglip import CONFIGS, init_siglip
+    from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                 quantize_siglip_static)
+    from tpudf.train.steps import (init_train_state,
+                                   make_binary_train_step, make_optimizer)
+
+    cfg = CONFIGS["base-256"]
+    b = 256
+    rng = np.random.default_rng(0)
+    backbone = init_siglip(jax.random.key(0), cfg)
+    head = init_binary_head(jax.random.key(1), cfg.width)
+    opt = make_optimizer(1e-4, total_steps=1000)
+    step = make_binary_train_step(cfg, opt, DEFAULT_POLICY)
+    batch = {"pixels": jnp.asarray(rng.random((b, 256, 256, 3), np.float32)),
+             "labels": jnp.asarray((np.arange(b) % 2).astype(np.float32))}
+    calib = batch["pixels"][:16]
+    bbq = quantize_siglip_static(
+        backbone, calibrate_siglip_act_scales(backbone, cfg, calib,
+                                              DEFAULT_POLICY), cfg)
+    for tag, bb in (("bf16", backbone), ("int8", bbq)):
+        state = init_train_state(head, opt)
+
+        def stepper(s, bb_, batch_, px):
+            st, metrics = step(s, bb_, {**batch_, "pixels": px},
+                               jax.random.key(1))
+            return metrics
+        dt = devtime(stepper, state, bb, batch, batch["pixels"], iters=5,
+                     reps=3)
+        print(json.dumps({
+            "metric": f"binary_head_train_step_base256_{tag}_backbone",
+            "batch": b, "ms": round(dt * 1e3, 1),
+            "img_per_s": round(b / dt, 1)}), flush=True)
+
+
 if __name__ == "__main__":
     main()
+    main_binary()

@@ -43,3 +43,14 @@ def test_infer_cli(image_dataset, tmp_path):
     assert len(lines) == 16
     rep = json.loads(lines[0])
     assert "final_label" in rep and "path" in rep
+
+
+def test_train_binary_cli_int8_backbone(image_dataset, tmp_path):
+    """--int8_backbone smoke: the frozen tower runs the W8A8 path during
+    training and eval (calibrated on the first training batch)."""
+    from tpudf.cli.train_binary import main
+    save = str(tmp_path / "run_q")
+    main(["--data_dir", image_dataset, "--save_dir", save,
+          "--model_size", "test-32", "--epochs", "1", "--batch_size", "8",
+          "--warmup_steps", "2", "--no_augment", "--int8_backbone"])
+    assert os.path.exists(os.path.join(save, "training_log.csv"))

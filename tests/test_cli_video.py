@@ -48,3 +48,14 @@ def test_train_video_cli_with_analysis(video_dataset, tmp_path):
     figs = os.path.join(save, "figures")
     assert os.path.exists(os.path.join(figs, "roc_curve.png"))
     assert os.path.exists(os.path.join(figs, "confusion_matrix.png"))
+
+
+def test_train_video_cli_int8_backbone(video_dataset, tmp_path):
+    """--int8_backbone smoke for the video trainer."""
+    from tpudf.cli.train_video import main
+    save = str(tmp_path / "run_q")
+    main(["--data_dir", video_dataset, "--save_dir", save,
+          "--model_size", "test-32", "--epochs", "1", "--batch_size", "2",
+          "--num_frames", "4", "--lr", "1e-3", "--seed", "0",
+          "--int8_backbone"])
+    assert os.path.exists(os.path.join(save, "best"))

@@ -38,6 +38,11 @@ def parse_args(argv=None):
     p.add_argument("--patience", type=int, default=5)
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no_augment", dest="augment", action="store_false")
+    p.add_argument("--int8_backbone", action="store_true",
+                   help="run the frozen backbone on the fused W8A8 int8 "
+                        "kernels during training (calibrated on the first "
+                        "training batch; int8 feature AUC delta is "
+                        "end-task-certified, tests/test_train_infer_e2e)")
     p.add_argument("--evaluate_only", action="store_true")
     p.add_argument("--resume", default=None)
     p.add_argument("--subset", type=float, default=1.0,
@@ -86,6 +91,18 @@ def main(argv=None):
     if args.subset < 1.0:
         train_ds.samples = train_ds.samples[
             :max(int(len(train_ds.samples) * args.subset), args.batch_size)]
+
+    if args.int8_backbone:
+        from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                     quantize_siglip_static)
+        first = next(iter(train_ds.batches(min(16, len(train_ds)))))
+        calib = normalize_siglip(
+            jnp.asarray(first["pixels"]).astype(jnp.float32) / 255.0)
+        scales = calibrate_siglip_act_scales(backbone, cfg, calib,
+                                             DEFAULT_POLICY)
+        backbone = quantize_siglip_static(backbone, scales, cfg)
+        print("[int8] frozen backbone statically quantized (W8A8) — "
+              "training features and eval both use the int8 tower")
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     optimizer = make_optimizer(args.lr, args.weight_decay, args.warmup_steps,

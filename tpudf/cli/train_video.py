@@ -24,6 +24,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--int8_backbone", action="store_true",
+                   help="run the frozen backbone on the fused W8A8 int8 "
+                        "kernels during training (calibrated on the first "
+                        "training clip's frames)")
     p.add_argument("--evaluate_only", action="store_true")
     p.add_argument("--analysis", action="store_true",
                    help="post-training publication analysis: activation "
@@ -68,6 +72,16 @@ def main(argv=None):
                                 cfg.image_size)
     labels = [l for _, l in train_ds.samples]
     pos_w = auto_pos_weight(labels) if labels else 1.0
+    if args.int8_backbone:
+        from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                     quantize_siglip_static)
+        first = next(iter(train_ds.batches(min(2, max(len(train_ds), 1)))))
+        frames = jnp.asarray(first["frames"]).astype(jnp.float32) / 255.0
+        calib = normalize_siglip(frames.reshape(-1, *frames.shape[2:])[:16])
+        scales = calibrate_siglip_act_scales(backbone, cfg, calib,
+                                             DEFAULT_POLICY)
+        backbone = quantize_siglip_static(backbone, scales, cfg)
+        print("[int8] frozen backbone statically quantized (W8A8)")
     optimizer = make_optimizer(args.lr, total_steps=max(
         len(train_ds) // args.batch_size, 1) * args.epochs)
     init_fn, step = make_video_train_step(cfg, optimizer, DEFAULT_POLICY,
