@@ -97,12 +97,18 @@ def main_binary():
     bbq = quantize_siglip_static(
         backbone, calibrate_siglip_act_scales(backbone, cfg, calib,
                                               DEFAULT_POLICY), cfg)
-    for tag, bb in (("bf16", backbone), ("int8", bbq)):
+    from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
+    step_t = make_binary_train_step(cfg, opt, DEFAULT_POLICY,
+                                    tome_r=DEPLOYED_TOME_R,
+                                    tome_floor=deployed_floor(256))
+    for tag, bb, st_fn in (("bf16", backbone, step),
+                           ("int8", bbq, step),
+                           ("int8_tome", bbq, step_t)):
         state = init_train_state(head, opt)
 
         def stepper(s, bb_, batch_, px):
-            st, metrics = step(s, bb_, {**batch_, "pixels": px},
-                               jax.random.key(1))
+            st, metrics = st_fn(s, bb_, {**batch_, "pixels": px},
+                                jax.random.key(1))
             return metrics
         dt = devtime(stepper, state, bb, batch, batch["pixels"], iters=5,
                      reps=3)

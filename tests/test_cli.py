@@ -54,3 +54,15 @@ def test_train_binary_cli_int8_backbone(image_dataset, tmp_path):
           "--model_size", "test-32", "--epochs", "1", "--batch_size", "8",
           "--warmup_steps", "2", "--no_augment", "--int8_backbone"])
     assert os.path.exists(os.path.join(save, "training_log.csv"))
+
+
+def test_train_binary_cli_deployed_features(image_dataset, tmp_path):
+    """--int8_backbone --tome_r smoke: the head trains on exactly the
+    deployed (int8 + ToMe) serving features."""
+    from tpudf.cli.train_binary import main
+    save = str(tmp_path / "run_dep")
+    main(["--data_dir", image_dataset, "--save_dir", save,
+          "--model_size", "test-32", "--epochs", "1", "--batch_size", "8",
+          "--warmup_steps", "2", "--no_augment", "--int8_backbone",
+          "--tome_r"])
+    assert os.path.exists(os.path.join(save, "training_log.csv"))

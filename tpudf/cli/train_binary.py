@@ -38,6 +38,11 @@ def parse_args(argv=None):
     p.add_argument("--patience", type=int, default=5)
     p.add_argument("--augment", action="store_true", default=True)
     p.add_argument("--no_augment", dest="augment", action="store_false")
+    p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?",
+                   help="extract features with ToMe token merging so the "
+                        "head trains on the deployed serving features; "
+                        "bare --tome_r uses the certified deployed "
+                        "schedule (ops/tome.py)")
     p.add_argument("--int8_backbone", action="store_true",
                    help="run the frozen backbone on the fused W8A8 int8 "
                         "kernels during training (calibrated on the first "
@@ -104,12 +109,20 @@ def main(argv=None):
         print("[int8] frozen backbone statically quantized (W8A8) — "
               "training features and eval both use the int8 tower")
 
+    tome_r, tome_floor = 0, 0
+    if args.tome_r is not None:
+        from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
+        s_tokens = (cfg.image_size // cfg.patch_size) ** 2
+        tome_r = DEPLOYED_TOME_R if args.tome_r < 0 else args.tome_r
+        tome_floor = deployed_floor(s_tokens) if args.tome_r < 0 else 0
+
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     optimizer = make_optimizer(args.lr, args.weight_decay, args.warmup_steps,
                                steps_per_epoch * args.epochs)
     step = jax.jit(make_binary_train_step(
         cfg, optimizer, DEFAULT_POLICY, args.head,
-        ema_decay=args.ema_decay or None, mixup_alpha=args.mixup_alpha))
+        ema_decay=args.ema_decay or None, mixup_alpha=args.mixup_alpha,
+        tome_r=tome_r, tome_floor=tome_floor))
     state = init_train_state(head, optimizer,
                              args.ema_decay if args.ema_decay else None)
     if args.resume and os.path.exists(args.resume):
@@ -119,7 +132,9 @@ def main(argv=None):
     from tpudf.models.heads import apply_binary_head, apply_fast_binary_head
     apply = apply_binary_head if args.head == "v5" else apply_fast_binary_head
     infer = jax.jit(lambda head, px: apply(
-        head, siglip_forward(backbone, px, cfg, DEFAULT_POLICY)["pooled"]))
+        head, siglip_forward(backbone, px, cfg, DEFAULT_POLICY,
+                             tome_r=tome_r,
+                             tome_floor=tome_floor)["pooled"]))
 
     aug = jax.jit(lambda rng, x: train_augment(rng, x))
     state_box = {"state": state}

@@ -70,20 +70,29 @@ def make_binary_train_step(cfg: SigLIPConfig, optimizer,
                            policy: Policy = DEFAULT_POLICY, head_kind="v5",
                            ema_decay: float | None = None,
                            mixup_alpha: float = 0.0,
-                           train_backbone: bool = False):
+                           train_backbone: bool = False,
+                           tome_r: int = 0, tome_floor: int = 0):
     """Returns step(state, backbone_params, batch, rng) -> (state, metrics).
 
     batch = {"pixels": (B,H,W,3), "labels": (B,) float 0/1}.
     When train_backbone=True, `state.params` must be
     {"backbone": ..., "head": ...} and gradients flow into the ViT.
-    """
+
+    tome_r/tome_floor (frozen backbone only): extract features with ToMe
+    token merging — the head then trains on EXACTLY the deployed serving
+    features (ops/tome.py), removing the train/serve feature mismatch of
+    deploying a speed mode the head never saw."""
+    if tome_r and train_backbone:
+        raise ValueError("tome_r is a frozen-backbone feature-extraction "
+                         "mode (inference-only tower path)")
 
     def loss_fn(trainable, backbone_params, pixels, labels, rng):
         if train_backbone:
             bb, head = trainable["backbone"], trainable["head"]
         else:
             bb, head = backbone_params, trainable
-        feats = siglip_forward(bb, pixels, cfg, policy)["pooled"]
+        feats = siglip_forward(bb, pixels, cfg, policy, tome_r=tome_r,
+                               tome_floor=tome_floor)["pooled"]
         if not train_backbone:
             feats = jax.lax.stop_gradient(feats)
         if head_kind == "v5":
