@@ -236,3 +236,37 @@ def test_mtl_int8_frozen_prefix():
     b2 = np.asarray(gq["backbone"]["blocks"]["mlp"]["fc1_w"][1]).ravel()
     corr = np.corrcoef(a, b2)[0, 1]
     assert corr > 0.95, corr
+
+
+def test_binary_head_learns_on_deployed_features():
+    """--int8_backbone --tome_r equivalent: the head must learn (and
+    evaluate) on the deployed W8A8+ToMe serving features end to end."""
+    from tpudf.ops.quant import (calibrate_siglip_act_scales,
+                                 quantize_siglip_static)
+    from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
+
+    cfg = CONFIGS["test-64"]
+    backbone = init_siglip(jax.random.key(0), cfg)
+    head = init_binary_head(jax.random.key(1), cfg.width)
+    rng = np.random.default_rng(0)
+    labels = (np.arange(16) % 2).astype(np.float32)
+    pixels = np.where(labels[:, None, None, None] > 0,
+                      rng.random((16, 64, 64, 3)) * 0.4 + 0.6,
+                      rng.random((16, 64, 64, 3)) * 0.4).astype(np.float32)
+    batch = {"pixels": jnp.asarray(pixels), "labels": jnp.asarray(labels)}
+    scales = calibrate_siglip_act_scales(backbone, cfg, batch["pixels"],
+                                         F32_POLICY)
+    bbq = quantize_siglip_static(backbone, scales, cfg)
+
+    n_tok = (cfg.image_size // cfg.patch_size) ** 2
+    opt = make_optimizer(lr=3e-3, warmup_steps=2, total_steps=60)
+    step = jax.jit(make_binary_train_step(
+        cfg, opt, F32_POLICY, tome_r=DEPLOYED_TOME_R,
+        tome_floor=deployed_floor(n_tok)))
+    state = init_train_state(head, opt)
+    losses = []
+    for i in range(40):
+        state, m = step(state, bbq, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8
+    assert float(m["acc"]) >= 0.8
