@@ -182,9 +182,10 @@ def main(argv=None):
         from tpudf.data.video import sample_video
         paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
                  for f in sorted(fs) if f.lower().endswith(VIDEO_EXTS)]
+        from tpudf.data.prefetch import prefetch
+        sampled = prefetch((p, sample_video(p, size=size)) for p in paths)
         with open(args.out, "w") as fo:
-            for p in paths:
-                frames, idxs = sample_video(p, size=size)
+            for p, (frames, idxs) in sampled:
                 if frames is None:
                     continue
                 rep = predict_video(engine, frames)
@@ -206,10 +207,18 @@ def main(argv=None):
         paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
                  for f in sorted(fs) if f.lower().endswith(IMG_EXTS)]
     labels, probs = [], []
+    from tpudf.data.prefetch import prefetch
+
+    def decoded_chunks():
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(8) as ex:
+            for s in range(0, len(paths), args.batch_size):
+                chunk = paths[s:s + args.batch_size]
+                imgs = list(ex.map(lambda p: _decode_image(p, size), chunk))
+                yield chunk, np.stack(imgs)
+
     with open(args.out, "w") as fo:
-        for s in range(0, len(paths), args.batch_size):
-            chunk = paths[s:s + args.batch_size]
-            px = np.stack([_decode_image(p, size) for p in chunk])
+        for chunk, px in prefetch(decoded_chunks()):
             reports = predict_images(engine, px, fast=args.fast)
             for p, r in zip(chunk, reports):
                 r["path"] = p

@@ -139,11 +139,13 @@ def main(argv=None):
     aug = jax.jit(lambda rng, x: train_augment(rng, x))
     state_box = {"state": state}
 
+    from tpudf.data.prefetch import prefetch
+
     def train_epoch(epoch):
         losses, accs = [], []
-        for i, batch in enumerate(train_ds.batches(
+        for i, batch in enumerate(prefetch(train_ds.batches(
                 args.batch_size, shuffle=True, seed=args.seed + epoch,
-                drop_last=True)):
+                drop_last=True))):
             x = jnp.asarray(batch["pixels"]).astype(jnp.float32) / 255.0
             rng = jax.random.key(epoch * 100000 + i)
             if args.augment:
@@ -159,7 +161,7 @@ def main(argv=None):
     def eval_epoch(epoch):
         probs, labels = [], []
         params = state_box["state"].ema or state_box["state"].params
-        for batch in val_ds.batches(args.batch_size):
+        for batch in prefetch(val_ds.batches(args.batch_size)):
             x = normalize_siglip(jnp.asarray(batch["pixels"])
                                  .astype(jnp.float32) / 255.0)
             z = infer(params, x)

@@ -95,10 +95,12 @@ def main(argv=None):
         return {"frames": normalize_siglip(x),
                 "labels": jnp.asarray(batch["labels"])}
 
+    from tpudf.data.prefetch import prefetch
+
     def train_epoch(epoch):
         losses = []
-        for i, batch in enumerate(train_ds.batches(
-                args.batch_size, shuffle=True, seed=args.seed + epoch)):
+        for i, batch in enumerate(prefetch(train_ds.batches(
+                args.batch_size, shuffle=True, seed=args.seed + epoch))):
             state_box["state"], m = step(
                 state_box["state"], backbone, _prep(batch),
                 jax.random.key(epoch * 9999 + i))
@@ -107,7 +109,7 @@ def main(argv=None):
 
     def eval_epoch(epoch):
         probs, labels = [], []
-        for batch in val_ds.batches(args.batch_size):
+        for batch in prefetch(val_ds.batches(args.batch_size)):
             z = eval_step(state_box["state"].head, backbone,
                           _prep(batch)["frames"])
             probs.append(1 / (1 + np.exp(-np.asarray(z))))
