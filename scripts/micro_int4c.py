@@ -28,7 +28,7 @@ def chain(f, iters, wdtype):
     return jax.jit(run)
 
 
-def slope(f, *args, wdtype, lo=100, hi=400, reps=5):
+def slope(f, *args, wdtype, lo=64, hi=256, reps=3):
     glo, ghi = chain(f, lo, wdtype), chain(f, hi, wdtype)
     seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
     float(jax.device_get(glo(*args, seeds[-1])))
@@ -68,9 +68,11 @@ def bench(m, k, n, wdtype, label):
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    for (m, k, n) in [(8192, 768, 2304), (8192, 768, 3072),
-                      (8192, 1152, 3456), (4096, 768, 2304)]:
+    import sys
+    shapes = [(8192, 768, 2304)]
+    if "--all" in sys.argv:
+        shapes += [(8192, 768, 3072), (8192, 1152, 3456), (4096, 768, 2304)]
+    for (m, k, n) in shapes:
         print(f"-- {m}x{k}x{n}", flush=True)
         bench(m, k, n, jnp.int8, "  int8w")
         bench(m, k, n, jnp.int4, "  int4w")
-        bench(m, k, n, jnp.bfloat16, "  bf16w")
