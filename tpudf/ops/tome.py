@@ -95,16 +95,21 @@ def merge_step(x, sizes, r: int):
     ha = xa.shape[1]
     f32 = jnp.float32
 
-    xn = x.astype(f32)
-    xn = xn / (jnp.linalg.norm(xn, axis=-1, keepdims=True) + 1e-6)
-    # bf16 inputs for the similarity matmul: 4x the f32 MXU rate, and a
-    # ~1e-3 relative score error cannot disturb an argmax/top-k RANKING
-    # of cosine similarities except between pairs that are equal-quality
-    # merge candidates anyway
-    xn = xn.astype(jnp.bfloat16)
-    na, nb = xn[:, 0::2], xn[:, 1::2]
+    # Cosine similarity WITHOUT materialising a normalized copy of x
+    # (writing the (B, S, W) normalized tensor cost ~0.4 ms of the
+    # ~0.85 ms sim stage at S=256 — scripts/micro_tome_profile.py): take
+    # raw bf16 dot products with f32 accumulation, then scale the small
+    # (B, ha, hb) matrix by the inverse row/col norms. bf16 inputs run at
+    # 4x the f32 MXU rate, and ~1e-3 relative score error cannot disturb
+    # an argmax/top-k RANKING of cosine similarities except between pairs
+    # that are equal-quality merge candidates anyway.
+    xb = x.astype(jnp.bfloat16)
+    inv = jax.lax.rsqrt(
+        jnp.sum(x.astype(f32) ** 2, axis=-1) + 1e-12)        # (B, S)
+    na, nb = xb[:, 0::2], xb[:, 1::2]
     sim = jnp.einsum("bif,bjf->bij", na, nb,
                      preferred_element_type=f32)  # (B, ha, hb)
+    sim = sim * inv[:, 0::2, None] * inv[:, None, 1::2]
     node_max = jnp.max(sim, axis=-1)             # (B, ha)
     node_idx = jnp.argmax(sim, axis=-1)          # (B, ha) partner in B
 
