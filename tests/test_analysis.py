@@ -185,3 +185,53 @@ def test_roc_pr_points_match_auc_ap():
     # AP = sum over recall increments of precision
     ap_step = float(np.sum(np.diff(rec) * prec[1:]))
     assert abs(ap_step - average_precision(labels, scores)) < 1e-6
+
+
+def test_roc_pr_points_collapse_ties():
+    """Tied scores must collapse to one curve vertex: all-equal scores plot
+    as the chance diagonal (matching the midrank AUC=0.5 in the legend),
+    not a per-sample staircase."""
+    from tpudf.eval.metrics import roc_auc
+    from tpudf.eval.plots import pr_points, roc_points
+
+    labels = np.array([0, 1, 0, 1, 1, 0, 0, 1], float)
+    scores = np.full(8, 0.5)
+    fpr, tpr = roc_points(labels, scores)
+    assert len(fpr) == 2 and fpr[-1] == 1.0 and tpr[-1] == 1.0
+    assert abs(float(np.trapezoid(tpr, fpr)) - roc_auc(labels, scores)) < 1e-9
+    rec, prec = pr_points(labels, scores)
+    assert len(rec) == 2 and prec[-1] == labels.mean()
+
+    # partial ties: trapezoid area still equals midrank AUC
+    rng = np.random.default_rng(5)
+    labels = (rng.uniform(size=300) > 0.5).astype(float)
+    scores = np.round(labels * 0.4 + rng.uniform(size=300), 1)  # heavy ties
+    fpr, tpr = roc_points(labels, scores)
+    assert abs(float(np.trapezoid(tpr, fpr)) - roc_auc(labels, scores)) < 1e-9
+
+
+def test_head_activation_capture_matches_apply():
+    """binary/video activation capture delegates to the canonical apply_*
+    functions — the recorded logits must equal the plain forward."""
+    import jax
+    import jax.numpy as jnp
+    from tpudf.eval.analysis import (binary_head_activations,
+                                     video_head_activations)
+    from tpudf.models.heads import (apply_binary_head, apply_video_head,
+                                    init_binary_head, init_video_head)
+
+    k = jax.random.key(0)
+    bh = init_binary_head(k, 64)
+    feats = jax.random.normal(jax.random.key(1), (6, 64))
+    acts = binary_head_activations(bh, feats)
+    assert set(acts) >= {"se_fc1", "se_fc2", "fc1", "fc2", "fc3"}
+    np.testing.assert_allclose(np.asarray(acts["fc3"][..., 0]),
+                               np.asarray(apply_binary_head(bh, feats)),
+                               rtol=1e-5)
+
+    vh = init_video_head(k, 64)
+    vf = jax.random.normal(jax.random.key(2), (4, 3, 64))
+    vacts = video_head_activations(vh, vf)
+    np.testing.assert_allclose(np.asarray(vacts["fc3"][..., 0]),
+                               np.asarray(apply_video_head(vh, vf)),
+                               rtol=1e-5)

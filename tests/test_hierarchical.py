@@ -96,3 +96,22 @@ def test_bayes_calibration_isotonic_and_logistic():
                                 calibration=call)
     assert "logistic_posterior" in fused_lg
     assert sep(fused_lg["logistic_posterior"]) > 0.15
+
+
+def test_logistic_calibration_accepts_none_cues():
+    """None-valued cues count as missing (0.5) in BOTH fit modes — the
+    feature-dict contract that _gather and the isotonic branch follow."""
+    import numpy as np
+    from tpudf.fuse.bayesian import fit_bayes_calibration
+
+    rng = np.random.default_rng(1)
+    y = (rng.random(100) > 0.5).astype(np.float64)
+    feats = {"visual": 0.3 + 0.4 * y, "freq": None, "forensic": None}
+    cal = fit_bayes_calibration(feats, y, mode="logistic")
+    w, b = cal.logistic
+    assert np.all(np.isfinite(w)) and np.isfinite(b)
+    # missing cues are constant 0.5 columns -> their weights stay ~0 and
+    # the informative cue dominates
+    assert abs(w[0]) > abs(w[1]) and abs(w[0]) > abs(w[2])
+    cal_iso = fit_bayes_calibration(feats, y, mode="isotonic")
+    assert "freq" not in cal_iso.iso

@@ -155,3 +155,21 @@ def test_infer_config_from_state_dict():
     assert cfg.width == 64 and cfg.layers == 2
     assert cfg.image_size == 48 and cfg.patch_size == 16
     assert cfg.mlp_dim == 128
+
+
+def test_frozen_prefix_layer_count_mismatch_raises():
+    """quantize_frozen_prefix(freeze_below=A) paired with stop_grad_below=B
+    != A must raise instead of silently running layers twice."""
+    import jax
+    import pytest
+    from tpudf.core.precision import DEFAULT_POLICY
+    from tpudf.models.siglip import CONFIGS, init_siglip, siglip_forward
+
+    cfg = CONFIGS["test-32"]
+    params = init_siglip(jax.random.key(0), cfg)
+    # a fake quantized prefix holding ONE layer while stop_grad_below=2
+    frozen_q = jax.tree.map(lambda a: a[:1], params["blocks"])
+    pixels = jax.numpy.zeros((1, cfg.image_size, cfg.image_size, 3))
+    with pytest.raises(ValueError, match="freeze boundary"):
+        siglip_forward(params, pixels, cfg, DEFAULT_POLICY,
+                       stop_grad_below=2, frozen_blocks_q=frozen_q)

@@ -37,20 +37,24 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 
+    def put_stoppable(item) -> bool:
+        """Bounded put that gives up when the consumer abandoned us."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def run():
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_stoppable(item):
                     return
-            q.put(_SENTINEL)
+            put_stoppable(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
-            q.put(_Error(e))
+            put_stoppable(_Error(e))
 
     t = threading.Thread(target=run, daemon=True)
     t.start()

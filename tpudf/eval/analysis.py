@@ -164,51 +164,26 @@ def label_shuffle_probe(train_eval_fn: Callable[[np.ndarray], float],
 def binary_head_activations(params, features):
     """Per-layer activation capture for the v5 binary head — the functional
     JAX equivalent of the reference's forward hooks on the classifier's
-    Linear layers (hidf_video_classifier.py:2152-2199). Re-runs the head
-    math (models/heads.apply_binary_head, eval mode) returning every linear
-    layer's output instead of just the logit."""
-    import jax
+    Linear layers (hidf_video_classifier.py:2152-2199). Delegates to
+    models/heads.apply_binary_head's acts hook (eval mode) so there is one
+    copy of the head math."""
     import jax.numpy as jnp
-    from tpudf.models.heads import l2_normalize
-    from tpudf.models.siglip import layer_norm
-    from tpudf.utils.nn import mm
+    from tpudf.models.heads import apply_binary_head
 
-    f = l2_normalize(jnp.asarray(features))
     acts = {}
-    se = jax.nn.relu(mm(f, params["se"]["fc1"]["w"])
-                     + params["se"]["fc1"]["b"])
-    acts["se_fc1"] = se
-    se = jax.nn.sigmoid(mm(se, params["se"]["fc2"]["w"])
-                        + params["se"]["fc2"]["b"])
-    acts["se_fc2"] = se
-    x = layer_norm(f * se, params["ln"], 1e-5)
-    x = jax.nn.gelu(mm(x, params["fc1"]["w"]) + params["fc1"]["b"],
-                    approximate=False)
-    acts["fc1"] = x
-    x = jax.nn.gelu(mm(x, params["fc2"]["w"]) + params["fc2"]["b"],
-                    approximate=False)
-    acts["fc2"] = x
-    acts["fc3"] = mm(x, params["fc3"]["w"]) + params["fc3"]["b"]
+    apply_binary_head(params, jnp.asarray(features), acts=acts)
     return acts
 
 
 def video_head_activations(params, frame_features):
-    """Activation capture for the HiDF video head (models/heads.
-    apply_video_head, eval mode) — per-Linear outputs, hook-equivalent."""
-    import jax
+    """Activation capture for the HiDF video head — delegates to
+    models/heads.apply_video_head's acts hook (eval mode) so the statistics
+    always describe the exact head being trained."""
     import jax.numpy as jnp
-    from tpudf.models.heads import l2_normalize
-    from tpudf.models.siglip import layer_norm
-    from tpudf.utils.nn import mm
+    from tpudf.models.heads import apply_video_head
 
-    f = l2_normalize(jnp.asarray(frame_features), eps=0.0)
-    x = layer_norm(jnp.mean(f, axis=1), params["ln"], 1e-5)
     acts = {}
-    x = jax.nn.relu(mm(x, params["fc1"]["w"]) + params["fc1"]["b"])
-    acts["fc1"] = x
-    x = jax.nn.relu(mm(x, params["fc2"]["w"]) + params["fc2"]["b"])
-    acts["fc2"] = x
-    acts["fc3"] = mm(x, params["fc3"]["w"]) + params["fc3"]["b"]
+    apply_video_head(params, jnp.asarray(frame_features), acts=acts)
     return acts
 
 

@@ -43,14 +43,25 @@ def _save(fig, save_dir, name):
     return path
 
 
+def _tie_boundaries(s_sorted):
+    """Indices (into the cumsum arrays) of the LAST sample of each distinct
+    score — curve vertices must only sit at thresholds between distinct
+    scores, or tied scores draw a per-sample staircase that disagrees with
+    the midrank AUC/AP shown in the legend (all-equal scores must plot as
+    the chance diagonal, not a corner)."""
+    return np.nonzero(np.append(s_sorted[1:] != s_sorted[:-1], True))[0]
+
+
 def roc_points(labels, scores):
-    """(fpr, tpr) arrays over score-sorted thresholds (exact, no binning)."""
+    """(fpr, tpr) arrays over score-sorted thresholds (exact, no binning;
+    tied scores collapse to one curve vertex)."""
     y = np.asarray(labels, np.float64)
     s = np.asarray(scores, np.float64)
     order = np.argsort(-s, kind="stable")
-    y = y[order]
-    tp = np.cumsum(y)
-    fp = np.cumsum(1 - y)
+    y, s = y[order], s[order]
+    cut = _tie_boundaries(s)
+    tp = np.cumsum(y)[cut]
+    fp = np.cumsum(1 - y)[cut]
     P, N = max(tp[-1], 1e-12), max(fp[-1], 1e-12)
     tpr = np.concatenate([[0.0], tp / P])
     fpr = np.concatenate([[0.0], fp / N])
@@ -58,13 +69,15 @@ def roc_points(labels, scores):
 
 
 def pr_points(labels, scores):
-    """(recall, precision) arrays over descending score thresholds."""
+    """(recall, precision) arrays over descending score thresholds (tied
+    scores collapse to one curve vertex)."""
     y = np.asarray(labels, np.float64)
     s = np.asarray(scores, np.float64)
     order = np.argsort(-s, kind="stable")
-    y = y[order]
-    tp = np.cumsum(y)
-    k = np.arange(1, len(y) + 1)
+    y, s = y[order], s[order]
+    cut = _tie_boundaries(s)
+    tp = np.cumsum(y)[cut]
+    k = cut + 1.0
     precision = tp / k
     recall = tp / max(tp[-1], 1e-12)
     return np.concatenate([[0.0], recall]), \

@@ -102,8 +102,11 @@ def fit_bayes_calibration(features: dict, labels, mode="isotonic",
                     np.asarray(features[name], np.float64), y)
         return BayesCalibration(iso=iso)
     if mode == "logistic":
+        # None-valued cues count as missing (= 0.5), matching _gather and
+        # the isotonic branch's feature-dict contract
         x = np.column_stack([
-            np.asarray(features.get(name, np.full_like(y, 0.5)), np.float64)
+            np.asarray(features[name], np.float64)
+            if features.get(name) is not None else np.full_like(y, 0.5)
             for name in FEATURES])
         w = np.zeros(len(FEATURES))
         b = 0.0

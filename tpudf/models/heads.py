@@ -59,21 +59,34 @@ def init_binary_head(key, dim: int):
     }
 
 
-def apply_binary_head(params, features, rng=None, ln_eps=1e-5):
+def apply_binary_head(params, features, rng=None, ln_eps=1e-5, acts=None):
     """features: (B, dim) pooled SigLIP output (pre-normalization).
     Returns (B,) logits. Mirrors appv3.py:1246-1253 semantics: L2-norm →
-    SE gate → LN → Drop(.3) → GELU MLP → logit."""
+    SE gate → LN → Drop(.3) → GELU MLP → logit.
+
+    acts: optional dict — when passed, every linear layer's output is
+    recorded into it (the functional equivalent of the reference's forward
+    hooks, hidf_video_classifier.py:2152-2199; used by eval/analysis.py so
+    the activation statistics always describe THIS head math)."""
+    rec = (lambda k, v: acts.__setitem__(k, v)) if acts is not None \
+        else (lambda k, v: None)
     f = l2_normalize(features)
     se = jax.nn.relu(mm(f, params["se"]["fc1"]["w"]) + params["se"]["fc1"]["b"])
+    rec("se_fc1", se)
     se = jax.nn.sigmoid(mm(se, params["se"]["fc2"]["w"]) + params["se"]["fc2"]["b"])
+    rec("se_fc2", se)
     x = f * se
     x = layer_norm(x, params["ln"], ln_eps)
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
     x = _dropout(x, 0.3, r1)
     x = jax.nn.gelu(mm(x, params["fc1"]["w"]) + params["fc1"]["b"], approximate=False)
+    rec("fc1", x)
     x = _dropout(x, 0.2, r2)
     x = jax.nn.gelu(mm(x, params["fc2"]["w"]) + params["fc2"]["b"], approximate=False)
-    return (mm(x, params["fc3"]["w"]) + params["fc3"]["b"])[..., 0]
+    rec("fc2", x)
+    out = mm(x, params["fc3"]["w"]) + params["fc3"]["b"]
+    rec("fc3", out)
+    return out[..., 0]
 
 
 # ------------------------------------------------------- CiFake fast heads
@@ -162,17 +175,24 @@ def init_video_head(key, dim: int):
     }
 
 
-def apply_video_head(params, frame_features, rng=None, dropout_rate=0.3):
+def apply_video_head(params, frame_features, rng=None, dropout_rate=0.3,
+                     acts=None):
     """frame_features: (B, T, dim) per-frame pooled SigLIP features.
     L2-norm per frame → temporal mean → LN → ReLU MLP → (B,) logits
-    (hidf_video_classifier.py:300-320)."""
+    (hidf_video_classifier.py:300-320). acts: optional per-layer activation
+    capture dict (see apply_binary_head)."""
+    rec = (lambda k, v: acts.__setitem__(k, v)) if acts is not None \
+        else (lambda k, v: None)
     f = l2_normalize(frame_features, eps=0.0)
     pooled = jnp.mean(f, axis=1)
     x = layer_norm(pooled, params["ln"], 1e-5)
     rngs = (jax.random.split(rng, 3) if rng is not None else [None] * 3)
     x = _dropout(x, dropout_rate, rngs[0])
     x = jax.nn.relu(mm(x, params["fc1"]["w"]) + params["fc1"]["b"])
+    rec("fc1", x)
     x = _dropout(x, dropout_rate * 0.67, rngs[1])
     x = jax.nn.relu(mm(x, params["fc2"]["w"]) + params["fc2"]["b"])
-    x = _dropout(x, dropout_rate * 0.33, rngs[2])
-    return (mm(x, params["fc3"]["w"]) + params["fc3"]["b"])[..., 0]
+    rec("fc2", x)
+    out = mm(x, params["fc3"]["w"]) + params["fc3"]["b"]
+    rec("fc3", out)
+    return out[..., 0]

@@ -606,6 +606,16 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
             # prefix's JVP entirely (embeddings are frozen with the layers)
             x = jax.lax.stop_gradient(x)
             lo = frozen_blocks_q
+            # the quantized prefix must cover EXACTLY the k frozen layers:
+            # a quantize_frozen_prefix(freeze_below=A) tree paired with
+            # stop_grad_below=B != A would run layers twice (or skip some)
+            # with no error, training on garbage features
+            n_frozen = jax.tree.leaves(lo)[0].shape[0]
+            if n_frozen != k:
+                raise ValueError(
+                    f"frozen_blocks_q holds {n_frozen} layers but "
+                    f"stop_grad_below={k}; quantize_frozen_prefix and the "
+                    "train step must use the same freeze boundary")
         else:
             lo = jax.tree.map(lambda a: a[:k], blocks)
         hi = jax.tree.map(lambda a: a[k:], blocks)

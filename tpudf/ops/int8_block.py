@@ -119,8 +119,9 @@ def ln_qkv_int8(x, ln_params, wq_dict, bias, act_scale, eps=1e-6, *,
 
 # ---------------------------------------------------- K12 (fused sublayer)
 def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-                          wout_ref, sout_ref, bout_ref, a_ref, ls_ref,
-                          o_ref, *, heads, head_dim, scale, eps, group):
+                          wout_ref, sout_ref, bout_ref, a_ref, *rest,
+                          heads, head_dim, scale, eps, group,
+                          has_bias=True):
     """`group` images per program: LN → quant → int8 QKV → attention →
     quant → int8 out-proj → residual, entirely in VMEM. The (G·S, 3Wa) QKV
     activation never exists in HBM — at batch 256 that deletes ~0.6 GB of
@@ -132,6 +133,10 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     S=64): per-image programs would feed the MXU 64-row projection matmuls;
     grouping G=8 images restores 512-row tiles for LN/QKV/out-proj while
     attention itself stays per-image via static row slices."""
+    if has_bias:
+        ls_ref, o_ref = rest
+    else:
+        ls_ref, (o_ref,) = None, rest
     gg, s, w = x_ref.shape
     x32 = x_ref[...].astype(jnp.float32).reshape(gg * s, w)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -147,7 +152,7 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     wa = heads * head_dim
     img_outs = []
     for g in range(group):
-        ls = ls_ref[g, 0]                                  # (S,) f32 per-key
+        ls = ls_ref[g, 0] if has_bias else None            # (S,) f32 per-key
         qkv_g = qkv[g * s:(g + 1) * s]
         outs = []
         for h in range(heads):
@@ -158,7 +163,8 @@ def _attn_sublayer_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
             sc = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32
                                      ) * scale
-            sc = sc + ls[None, :]   # ToMe proportional attn (zeros if off)
+            if has_bias:            # ToMe proportional attention bias
+                sc = sc + ls[None, :]
             m = jnp.max(sc, axis=-1, keepdims=True)
             e = jnp.exp(sc - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -217,11 +223,12 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
         # (B, 1, S): Mosaic requires a block's trailing two dims be
         # (8k, 128k) or equal to the array's — (1, S) blocks of a (B, S)
         # array violate that, so the bias rides with a singleton axis.
-        ls = (jnp.zeros((b, 1, s), jnp.float32) if logit_bias is None
-              else logit_bias.astype(jnp.float32)[:, None, :])
+        # With ToMe off the input is omitted entirely (static has_bias)
+        # rather than feeding a zeros array through HBM+DMA every layer.
+        has_bias = logit_bias is not None
         kernel = functools.partial(
             _attn_sublayer_kernel, heads=heads, head_dim=head_dim,
-            scale=scale, eps=float(eps), group=group)
+            scale=scale, eps=float(eps), group=group, has_bias=has_bias)
         params = None
         if not fits:
             from jax.experimental.pallas import tpu as pltpu
@@ -242,8 +249,8 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((w,), lambda i: (0,)),
                 pl.BlockSpec((2,), lambda i: (0,)),
-                pl.BlockSpec((group, 1, s), lambda i: (i, 0, 0)),
-            ],
+            ] + ([pl.BlockSpec((group, 1, s), lambda i: (i, 0, 0))]
+                 if has_bias else []),
             out_specs=pl.BlockSpec((group, s, w), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
             interpret=interpret,
@@ -252,7 +259,9 @@ def attn_sublayer_int8(x, ln_params, qkv_wq, qkv_b, out_wq, out_b,
           qkv_wq["q"], qkv_wq["scale"].astype(jnp.float32),
           qkv_b.astype(jnp.float32),
           out_wq["q"], out_wq["scale"].astype(jnp.float32),
-          out_b.astype(jnp.float32), a2, ls)
+          out_b.astype(jnp.float32), a2,
+          *([logit_bias.astype(jnp.float32)[:, None, :]]
+            if has_bias else []))
     qkv = ln_qkv_int8(x, ln_params, qkv_wq, qkv_b, a_qkv, eps,
                       interpret=interpret)
     return attn_out_int8(qkv, x, out_wq, out_b, a_out, heads, head_dim,

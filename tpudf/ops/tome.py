@@ -89,10 +89,8 @@ def merge_step(x, sizes, r: int):
     b, s, w = x.shape
     if r <= 0:
         return x, sizes
-    half = s // 2
     sp = s - r                                   # tokens after merge
-    xa, xb = x[:, 0::2], x[:, 1::2]              # (B, half(+1), W)
-    ha = xa.shape[1]
+    ha = (s + 1) // 2                            # A = even positions
     f32 = jnp.float32
 
     # Cosine similarity WITHOUT materialising a normalized copy of x
@@ -103,10 +101,10 @@ def merge_step(x, sizes, r: int):
     # 4x the f32 MXU rate, and ~1e-3 relative score error cannot disturb
     # an argmax/top-k RANKING of cosine similarities except between pairs
     # that are equal-quality merge candidates anyway.
-    xb = x.astype(jnp.bfloat16)
+    x16 = x.astype(jnp.bfloat16)
     inv = jax.lax.rsqrt(
         jnp.sum(x.astype(f32) ** 2, axis=-1) + 1e-12)        # (B, S)
-    na, nb = xb[:, 0::2], xb[:, 1::2]
+    na, nb = x16[:, 0::2], x16[:, 1::2]
     sim = jnp.einsum("bif,bjf->bij", na, nb,
                      preferred_element_type=f32)  # (B, ha, hb)
     sim = sim * inv[:, 0::2, None] * inv[:, None, 1::2]
@@ -147,7 +145,3 @@ def merge_step(x, sizes, r: int):
     return x_out, den
 
 
-def apply_tome(x, sizes, r: int):
-    """merge_step wrapper used by models/siglip.py (kept separate so the
-    schedule logic can evolve without touching the tower)."""
-    return merge_step(x, sizes, r)

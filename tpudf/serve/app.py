@@ -174,10 +174,20 @@ def jitter_collage(pixels_uint8: np.ndarray, n=4, seed=0) -> np.ndarray:
 
 
 def report_json_file(report: dict) -> str:
-    """Write the JSON report to a temp file for the download button."""
+    """Write the JSON report to a temp file for the download button.
+    Old report files from this process are pruned (gradio's DownloadButton
+    never deletes its source, so a long-running demo would otherwise
+    accumulate one file per Analyze click)."""
     fd, path = tempfile.mkstemp(suffix=".json", prefix="tpudf_report_")
     with os.fdopen(fd, "w") as f:
         json.dump(report, f, indent=2, default=float)
+    old = getattr(report_json_file, "_last", None)
+    if old:
+        try:
+            os.unlink(old)
+        except OSError:
+            pass
+    report_json_file._last = path
     return path
 
 
