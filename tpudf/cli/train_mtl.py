@@ -177,10 +177,13 @@ def main(argv=None):
                                          for c in chunk]),
             }
 
+    from tpudf.data.prefetch import prefetch
+
     def train_epoch(epoch):
         cls_w, seg_w = dynamic_loss_weights(epoch, args.epochs)
         losses = []
-        for i, b in enumerate(batches(train_data, True, args.seed + epoch)):
+        for i, b in enumerate(prefetch(
+                batches(train_data, True, args.seed + epoch))):
             state_box["state"], m = step(state_box["state"], b,
                                          jax.random.key(epoch * 7919 + i),
                                          cls_w, seg_w)
@@ -192,7 +195,7 @@ def main(argv=None):
         dices, ious = [], []
         pix = PixelAUCBuffer()
         probs_cat, masks_cat = [], []
-        for b in batches(val_data, False, 0):
+        for b in prefetch(batches(val_data, False, 0)):
             cls_logits, seg_probs = eval_step(state_box["state"].params,
                                               b["pixels"])
             all_cls.append(np.asarray(cls_logits))
