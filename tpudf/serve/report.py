@@ -84,16 +84,30 @@ def _face_signals(engine, pixels_uint8):
     return p_fake, retouch
 
 
-def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
-                   decision: DecisionConfig = DEFAULT_DECISION,
-                   fast: bool = False) -> list[dict]:
-    """pixels_uint8: (B, S, S, 3) → list of per-image report dicts."""
+def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
+                    fast: bool = False):
+    """Phase 1 of predict_images: launch the device work and return the
+    un-fetched result futures. JAX dispatch is asynchronous, so the caller
+    can do host work (decode/drain the next batch) while the chip runs,
+    then pass the futures to predict_images(..., _dispatched=...) to
+    finalize. serve/service.DetectService uses this to hide the host
+    round-trip behind the next batch's queueing."""
     core = (engine.predict_batch_fast(pixels_uint8) if fast
             else engine.predict_batch(pixels_uint8))
     x = jnp.asarray(pixels_uint8).astype(jnp.float32) / 255.0
     if x.shape[1] != 256:
         x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "bilinear")
-    fb = jax.tree.map(np.asarray, _jitted_battery()(x))
+    fb = _jitted_battery()(x)
+    return core, fb
+
+
+def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
+                   decision: DecisionConfig = DEFAULT_DECISION,
+                   fast: bool = False, _dispatched=None) -> list[dict]:
+    """pixels_uint8: (B, S, S, 3) → list of per-image report dicts."""
+    core, fb = (_dispatched if _dispatched is not None
+                else dispatch_images(engine, pixels_uint8, fast))
+    fb = jax.tree.map(np.asarray, fb)
 
     b = pixels_uint8.shape[0]
     p_blend = np.asarray(core["p_blend"], np.float64)

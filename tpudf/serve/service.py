@@ -78,36 +78,59 @@ class DetectService:
         return items
 
     def _run(self):
+        # Double-buffered dispatch: launch the device work for batch i
+        # (JAX dispatch is async), drain batch i+1 while the chip runs,
+        # THEN finalize batch i (the blocking device fetch). Under
+        # sustained load this hides the drain window + host round-trip
+        # behind device compute instead of serializing them.
         import numpy as np
-        from tpudf.serve.report import predict_images
+        from tpudf.serve.report import dispatch_images, predict_images
+        inflight = []   # [(group, batch, fast, futures)]
+
+        def finalize_one():
+            group, batch, fast, futures = inflight.pop(0)
+            try:
+                reports = predict_images(self.engine, batch, fast=fast,
+                                         _dispatched=futures)
+                now = time.perf_counter()
+                with self._lock:
+                    self.stats["batches"] += 1
+                    self.stats["images"] += len(group)
+                    self.stats["requests"] += len(group)
+                for p, r in zip(group, reports):
+                    p.result = r
+                    lat = now - p.enqueued_at
+                    with self._lock:
+                        self.stats["total_latency_s"] += lat
+                        self.stats["max_latency_s"] = max(
+                            self.stats["max_latency_s"], lat)
+                    p.event.set()
+            except Exception as e:          # pragma: no cover
+                for p in group:
+                    p.error = e
+                    p.event.set()
+
         while not self._stop.is_set():
             items = self._drain()
-            if not items:
-                continue
             for fast in (False, True):
                 group = [p for p in items if p.fast == fast]
                 if not group:
                     continue
                 try:
                     batch = np.stack([np.asarray(p.pixels) for p in group])
-                    reports = predict_images(self.engine, batch, fast=fast)
-                    now = time.perf_counter()
-                    with self._lock:
-                        self.stats["batches"] += 1
-                        self.stats["images"] += len(group)
-                        self.stats["requests"] += len(group)
-                    for p, r in zip(group, reports):
-                        p.result = r
-                        lat = now - p.enqueued_at
-                        with self._lock:
-                            self.stats["total_latency_s"] += lat
-                            self.stats["max_latency_s"] = max(
-                                self.stats["max_latency_s"], lat)
-                        p.event.set()
+                    futures = dispatch_images(self.engine, batch, fast=fast)
+                    inflight.append((group, batch, fast, futures))
                 except Exception as e:          # pragma: no cover
                     for p in group:
                         p.error = e
                         p.event.set()
+            # keep at most one batch in flight: finalize immediately when
+            # the queue is empty (a lone request must not wait out the next
+            # drain timeout) and whenever depth reaches 2
+            while inflight and (self._q.empty() or len(inflight) >= 2):
+                finalize_one()
+        while inflight:                          # drain on shutdown
+            finalize_one()
 
     def snapshot_stats(self) -> dict:
         with self._lock:
