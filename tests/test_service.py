@@ -56,3 +56,30 @@ def test_single_full_request(service):
     px = np.random.default_rng(1).integers(0, 256, (32, 32, 3), np.uint8)
     r = service.predict(px, fast=False, timeout=300)
     assert "patch_probs" in r
+
+
+def test_pad_to_bucket():
+    from tpudf.serve.report import pad_to_bucket
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (5, 32, 32, 3), np.uint8)
+    padded = pad_to_bucket(px)
+    assert padded.shape[0] == 8
+    np.testing.assert_array_equal(padded[:5], px)
+    np.testing.assert_array_equal(padded[5], px[4])   # repeats last image
+    for b in (1, 2, 4, 8):                            # pow2 stays put
+        assert pad_to_bucket(px[:b]).shape[0] == b
+    assert pad_to_bucket(px[:3], max_batch=2).shape[0] == 3   # cap respected
+
+
+def test_padded_dispatch_matches_unpadded(service):
+    """Bucket padding must not change any report for the real images."""
+    from tpudf.serve.report import dispatch_images, predict_images
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (3, 32, 32, 3), np.uint8)
+    plain = predict_images(service.engine, px, fast=True)
+    fut = dispatch_images(service.engine, px, fast=True, pad_batch=True)
+    padded = predict_images(service.engine, px, fast=True, _dispatched=fut)
+    assert len(padded) == 3
+    for a, b in zip(plain, padded):
+        assert a["p_fake_raw"] == pytest.approx(b["p_fake_raw"], abs=1e-5)
+        assert a["final_label"] == b["final_label"]

@@ -288,6 +288,35 @@ def rendering_pipeline_score(frames_uint8):
     return float(np.clip(score, 0.0, 1.0))
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_render_scores():
+    from tpudf.ops.flow import exposure_blur_regularity
+
+    def f(pixels_uint8):
+        x = pixels_uint8.astype(jnp.float32) / 255.0
+        w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+        gray = x @ w                                   # (B, H, W)
+        b, h, wd = gray.shape
+        if h % 16 or wd % 16 or h < 32 or wd < 32:
+            gray = jax.image.resize(gray, (b, 256, 256), "bilinear")
+        pair = jnp.stack([gray, gray[:, :, ::-1]], axis=1)   # [img, h-flip]
+        exposure, blur = jax.vmap(exposure_blur_regularity)(pair)
+        return jnp.clip(0.55 * exposure + 0.45 * blur, 0.0, 1.0)
+
+    return jax.jit(f)
+
+
+def rendering_pipeline_scores(images_uint8):
+    """Batched image-path rendering score: the reference feeds
+    [image, h-flip] as the frame pair per image (appv3.py:5128-5195);
+    this runs the whole batch as ONE jitted device call instead of a
+    per-image loop (each per-image call pays a full host<->device round
+    trip, which dominates serving latency). (B, H, W, 3) uint8 → (B,)."""
+    px = jnp.asarray(np.asarray(images_uint8))
+    return np.asarray(jax.device_get(_jitted_render_scores()(px)),
+                      np.float64)
+
+
 def host_flow_signals(frames_uint8):
     """Optical-flow-family signals via host cv2 (Farneback forward/backward,
     flow direction coherence, KLT track instability, RANSAC affine

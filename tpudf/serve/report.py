@@ -77,39 +77,71 @@ def _face_signals(engine, pixels_uint8):
                 jnp.asarray(c, jnp.float32), (s, s, 3), "bilinear"),
                 np.float32).clip(0, 255).astype(np.uint8))
     if idx:
-        face_core = engine.predict_batch(np.stack(crops))
-        raw = np.asarray(face_core["p_fake_raw"], np.float64)
+        # bucket-pad so the crop-escalation graph compiles at pow2 sizes
+        # only (crop count varies per batch, unlike the main batch dim)
+        face_core = engine.predict_batch(pad_to_bucket(np.stack(crops)))
+        raw = np.asarray(face_core["p_fake_raw"], np.float64)[:len(idx)]
         for j, i in enumerate(idx):
             p_fake[i] = float(raw[j])
     return p_fake, retouch
 
 
+def pad_to_bucket(pixels_uint8: np.ndarray, max_batch: int | None = None
+                  ) -> np.ndarray:
+    """Pad the batch dim up to the next power of two (capped at max_batch)
+    by repeating the last image, so a serving workload compiles at most
+    log2(max_batch)+1 device graphs instead of one per request count."""
+    b = pixels_uint8.shape[0]
+    bucket = 1 << max(0, (b - 1).bit_length())
+    if max_batch is not None:
+        bucket = min(bucket, max(max_batch, b))
+    if bucket == b:
+        return pixels_uint8
+    pad = np.repeat(pixels_uint8[-1:], bucket - b, axis=0)
+    return np.concatenate([pixels_uint8, pad], axis=0)
+
+
 def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
-                    fast: bool = False):
+                    fast: bool = False, pad_batch: bool = False):
     """Phase 1 of predict_images: launch the device work and return the
     un-fetched result futures. JAX dispatch is asynchronous, so the caller
     can do host work (decode/drain the next batch) while the chip runs,
     then pass the futures to predict_images(..., _dispatched=...) to
     finalize. serve/service.DetectService uses this to hide the host
-    round-trip behind the next batch's queueing."""
+    round-trip behind the next batch's queueing.
+
+    pad_batch=True pads the device batch to a power-of-2 bucket
+    (pad_to_bucket) — predict_images slices every per-image array back to
+    the true batch size, so callers see only their own images."""
+    if pad_batch:
+        pixels_uint8 = pad_to_bucket(np.asarray(pixels_uint8))
     core = (engine.predict_batch_fast(pixels_uint8) if fast
             else engine.predict_batch(pixels_uint8))
     x = jnp.asarray(pixels_uint8).astype(jnp.float32) / 255.0
     if x.shape[1] != 256:
         x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "bilinear")
     fb = _jitted_battery()(x)
-    return core, fb
+    if fast:
+        render = None
+    else:
+        from tpudf.fuse.temporal import _jitted_render_scores
+        render = _jitted_render_scores()(jnp.asarray(pixels_uint8))
+    return core, fb, render
 
 
 def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
                    decision: DecisionConfig = DEFAULT_DECISION,
                    fast: bool = False, _dispatched=None) -> list[dict]:
     """pixels_uint8: (B, S, S, 3) → list of per-image report dicts."""
-    core, fb = (_dispatched if _dispatched is not None
-                else dispatch_images(engine, pixels_uint8, fast))
-    fb = jax.tree.map(np.asarray, fb)
-
+    core, fb, render_fut = (_dispatched if _dispatched is not None
+                            else dispatch_images(engine, pixels_uint8, fast))
+    # every core/fb leaf is per-image with leading dim = device batch;
+    # slice back to the true batch in case dispatch padded to a bucket.
+    # ONE device_get for the whole battery tree — per-leaf np.asarray would
+    # pay ~37 separate host round trips.
     b = pixels_uint8.shape[0]
+    fb = {k: np.asarray(v)[:b] for k, v in jax.device_get(fb).items()}
+    core = {k: np.asarray(v)[:b] for k, v in core.items()}
     p_blend = np.asarray(core["p_blend"], np.float64)
     visual = np.asarray(core["visual_prob"], np.float64)
     freq = np.asarray(core["freq_prob"], np.float64)
@@ -133,9 +165,7 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     else:
         embed_score, embed_l2, embed_cos = _embedding_anomaly(
             core, engine.mean_real)
-        from tpudf.fuse.temporal import rendering_pipeline_score
-        render = np.asarray([rendering_pipeline_score(
-            [pixels_uint8[i], pixels_uint8[i, :, ::-1]]) for i in range(b)])
+        render = np.asarray(jax.device_get(render_fut), np.float64)[:b]
         face_p_fake, face_retouch = _face_signals(engine, pixels_uint8)
 
     # generator-likelihood vote (appv3.py:2569-2645 via :5472-5496)

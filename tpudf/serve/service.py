@@ -58,6 +58,20 @@ class DetectService:
         self._stop.set()
         self._worker.join(timeout=5)
 
+    def warmup(self, fast=False, max_bucket=None):
+        """Pre-compile every pow2 batch bucket up to max_batch so no
+        request pays a compile at serving time. Call before taking load."""
+        import numpy as np
+        from tpudf.serve.report import predict_images
+        cap = max_bucket or self.max_batch
+        s = self.engine.cfg.image_size
+        size = 1
+        while size <= cap:
+            rng = np.random.default_rng(size)
+            px = rng.integers(0, 256, (size, s, s, 3), dtype=np.uint8)
+            predict_images(self.engine, px, fast=fast)
+            size *= 2
+
     # ------------------------------------------------------------ worker
 
     def _drain(self):
@@ -118,7 +132,10 @@ class DetectService:
                     continue
                 try:
                     batch = np.stack([np.asarray(p.pixels) for p in group])
-                    futures = dispatch_images(self.engine, batch, fast=fast)
+                    # pow2 bucket padding: at most log2(max_batch)+1 device
+                    # graphs per mode, instead of one per drained count
+                    futures = dispatch_images(self.engine, batch, fast=fast,
+                                              pad_batch=True)
                     inflight.append((group, batch, fast, futures))
                 except Exception as e:          # pragma: no cover
                     for p in group:
