@@ -42,12 +42,12 @@ def bayes_combine(probs, weights, prior=0.5):
     return _from_odds(odds)
 
 
-def final_decision(visual_prob, freq_prob, fusion_prob, coral_prob,
-                   forensic_score, diff_score, max_patch, patch_mean,
-                   head_delta, spectral_score=0.0, color_score=0.0,
-                   face_boost=0.0, cfa_fake_score=None, real_prior=None,
-                   fake_thresh=0.75):
-    """Returns (p_final (B,), label array of 'FAKE'/'REAL')."""
+def final_probability(visual_prob, freq_prob, fusion_prob, coral_prob,
+                      forensic_score, diff_score, max_patch, patch_mean,
+                      head_delta, spectral_score=0.0, color_score=0.0,
+                      face_boost=0.0, cfa_fake_score=None, real_prior=None):
+    """jnp-only L1-L4 mixture → p_final (B,). Safe to call inside a jitted
+    graph (final_decision adds the host-side FAKE/REAL labels)."""
     p_vis = _c(visual_prob)
     p_freq = _c(freq_prob)
     p_coral = _c(coral_prob)
@@ -87,6 +87,18 @@ def final_decision(visual_prob, freq_prob, fusion_prob, coral_prob,
     damp = (hd >= 0.35) & (p_freq < 0.40) & (p_vis >= 0.40)
     p_final = jnp.where(damp, _from_odds(_odds(p_final) * 0.80), p_final)
 
-    p_final = jnp.clip(p_final, 0.0, 1.0)
+    return jnp.clip(p_final, 0.0, 1.0)
+
+
+def final_decision(visual_prob, freq_prob, fusion_prob, coral_prob,
+                   forensic_score, diff_score, max_patch, patch_mean,
+                   head_delta, spectral_score=0.0, color_score=0.0,
+                   face_boost=0.0, cfa_fake_score=None, real_prior=None,
+                   fake_thresh=0.75):
+    """Returns (p_final (B,), label array of 'FAKE'/'REAL')."""
+    p_final = final_probability(
+        visual_prob, freq_prob, fusion_prob, coral_prob, forensic_score,
+        diff_score, max_patch, patch_mean, head_delta, spectral_score,
+        color_score, face_boost, cfa_fake_score, real_prior)
     labels = np.where(np.asarray(p_final) >= fake_thresh, "FAKE", "REAL")
     return p_final, labels

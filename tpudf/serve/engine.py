@@ -159,21 +159,32 @@ class DetectEngine:
                                                self.cfg)
         return self
 
+    def dispatch_batch(self, pixels_uint8, fast: bool = False):
+        """Launch the detect graph WITHOUT fetching: returns the on-device
+        output dict immediately (JAX dispatch is asynchronous). Pair with
+        fetch_batch() to finalize; predict_batch == fetch(dispatch). Serving
+        uses the split so the blocking host round-trip happens once per
+        batch, after all device work is enqueued (serve/report.py)."""
+        fn = self._detect_fast if fast else self._detect
+        return fn(self.backbone, self.head, self.freq, self.fusion,
+                  jnp.asarray(pixels_uint8))
+
+    @staticmethod
+    def fetch_batch(dispatched, fast: bool = False) -> dict:
+        """Blocking fetch + scalar unpack of a dispatch_batch() result."""
+        return _unpack(jax.device_get(dispatched),
+                       FAST_SCALARS if fast else FULL_SCALARS)
+
     def predict_batch(self, pixels_uint8: np.ndarray) -> dict:
         """Full-analysis path: multicrop + rot + flip TTA + patch grid.
         pixels_uint8: (B, S, S, 3) uint8 → dict of per-image signals
         (+ per-patch probabilities for the localization heatmap)."""
-        x = jnp.asarray(pixels_uint8)
-        return _unpack(jax.device_get(self._detect(
-            self.backbone, self.head, self.freq, self.fusion, x)),
-            FULL_SCALARS)
+        return self.fetch_batch(self.dispatch_batch(pixels_uint8))
 
     def predict_batch_fast(self, pixels_uint8: np.ndarray) -> dict:
         """fast_mode (video frames, appv3.py:6409): single view + rot only."""
-        x = jnp.asarray(pixels_uint8)
-        return _unpack(jax.device_get(self._detect_fast(
-            self.backbone, self.head, self.freq, self.fusion, x)),
-            FAST_SCALARS)
+        return self.fetch_batch(self.dispatch_batch(pixels_uint8, fast=True),
+                                fast=True)
 
 
 def _freq_gray(views_flat):

@@ -115,8 +115,7 @@ def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     the true batch size, so callers see only their own images."""
     if pad_batch:
         pixels_uint8 = pad_to_bucket(np.asarray(pixels_uint8))
-    core = (engine.predict_batch_fast(pixels_uint8) if fast
-            else engine.predict_batch(pixels_uint8))
+    core = engine.dispatch_batch(pixels_uint8, fast=fast)   # un-fetched
     x = jnp.asarray(pixels_uint8).astype(jnp.float32) / 255.0
     if x.shape[1] != 256:
         x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "bilinear")
@@ -135,12 +134,15 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     """pixels_uint8: (B, S, S, 3) → list of per-image report dicts."""
     core, fb, render_fut = (_dispatched if _dispatched is not None
                             else dispatch_images(engine, pixels_uint8, fast))
-    # every core/fb leaf is per-image with leading dim = device batch;
-    # slice back to the true batch in case dispatch padded to a bucket.
-    # ONE device_get for the whole battery tree — per-leaf np.asarray would
-    # pay ~37 separate host round trips.
+    # ONE blocking device_get for everything dispatch launched (core graph +
+    # forensic battery + render scores) — per-tree (let alone per-leaf)
+    # fetches each pay a full host<->chip round trip, which dominates
+    # serving latency through a remote runtime. Then slice every per-image
+    # leaf back to the true batch in case dispatch padded to a pow2 bucket.
     b = pixels_uint8.shape[0]
-    fb = {k: np.asarray(v)[:b] for k, v in jax.device_get(fb).items()}
+    core, fb, render_fut = jax.device_get((core, fb, render_fut))
+    core = DetectEngine.fetch_batch(core, fast=fast)
+    fb = {k: np.asarray(v)[:b] for k, v in fb.items()}
     core = {k: np.asarray(v)[:b] for k, v in core.items()}
     p_blend = np.asarray(core["p_blend"], np.float64)
     visual = np.asarray(core["visual_prob"], np.float64)
@@ -165,7 +167,7 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     else:
         embed_score, embed_l2, embed_cos = _embedding_anomaly(
             core, engine.mean_real)
-        render = np.asarray(jax.device_get(render_fut), np.float64)[:b]
+        render = np.asarray(render_fut, np.float64)[:b]
         face_p_fake, face_retouch = _face_signals(engine, pixels_uint8)
 
     # generator-likelihood vote (appv3.py:2569-2645 via :5472-5496)
