@@ -288,22 +288,26 @@ def rendering_pipeline_score(frames_uint8):
     return float(np.clip(score, 0.0, 1.0))
 
 
-@functools.lru_cache(maxsize=4)
-def _jitted_render_scores():
+def render_scores_graph(pixels_uint8):
+    """Unjitted batched image-path rendering-score graph — callable from a
+    larger jitted graph (serve/report's fusion tail) or jitted standalone
+    (_jitted_render_scores). (B, H, W, 3) uint8 → (B,) in [0, 1]."""
     from tpudf.ops.flow import exposure_blur_regularity
 
-    def f(pixels_uint8):
-        x = pixels_uint8.astype(jnp.float32) / 255.0
-        w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
-        gray = x @ w                                   # (B, H, W)
-        b, h, wd = gray.shape
-        if h % 16 or wd % 16 or h < 32 or wd < 32:
-            gray = jax.image.resize(gray, (b, 256, 256), "bilinear")
-        pair = jnp.stack([gray, gray[:, :, ::-1]], axis=1)   # [img, h-flip]
-        exposure, blur = jax.vmap(exposure_blur_regularity)(pair)
-        return jnp.clip(0.55 * exposure + 0.45 * blur, 0.0, 1.0)
+    x = pixels_uint8.astype(jnp.float32) / 255.0
+    w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    gray = x @ w                                   # (B, H, W)
+    b, h, wd = gray.shape
+    if h % 16 or wd % 16 or h < 32 or wd < 32:
+        gray = jax.image.resize(gray, (b, 256, 256), "bilinear")
+    pair = jnp.stack([gray, gray[:, :, ::-1]], axis=1)   # [img, h-flip]
+    exposure, blur = jax.vmap(exposure_blur_regularity)(pair)
+    return jnp.clip(0.55 * exposure + 0.45 * blur, 0.0, 1.0)
 
-    return jax.jit(f)
+
+@functools.lru_cache(maxsize=4)
+def _jitted_render_scores():
+    return jax.jit(render_scores_graph)
 
 
 def rendering_pipeline_scores(images_uint8):

@@ -23,29 +23,22 @@ from tpudf.fuse.decision import (DecisionConfig, DEFAULT_DECISION,
                                  full_label_cascade)
 from tpudf.fuse.verdict import decide_verdict
 from tpudf.ops.forensics import forensic_battery, image_generator_likelihood
-from tpudf.serve.engine import DetectEngine
+from tpudf.serve.engine import (DetectEngine, FAST_SCALARS, FULL_SCALARS,
+                                _PACK_KEY)
 
 
-@functools.lru_cache(maxsize=2)
-def _jitted_battery():
-    return jax.jit(forensic_battery)
+@functools.lru_cache(maxsize=1)
+def _battery_keys() -> tuple:
+    """Static key set of forensic_battery's output dict (trace-only)."""
+    shapes = jax.eval_shape(
+        forensic_battery, jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32))
+    return tuple(sorted(shapes))
 
 
-def _embedding_anomaly(core, mean_real):
-    """0.6 x L2-norm term + 0.4 x cosine-deviation term vs the cached
-    mean-real embedding (appv3.py:3494-3516). Returns (score, l2, cos_dev)
-    arrays; cos_dev is 0 when no mean-real anchor is loaded, exactly like
-    the reference without MEAN_EMBEDDING."""
-    l2 = np.asarray(core["embed_l2"], np.float64)
-    l2n = np.minimum(1.0, l2 / 28.0)
-    cos_dev = np.zeros_like(l2)
-    if mean_real is not None:
-        feat = np.asarray(core["embed_feat"], np.float64)
-        mr = np.asarray(mean_real, np.float64)
-        denom = (np.linalg.norm(feat, axis=1) * np.linalg.norm(mr) + 1e-6)
-        cos = feat @ mr / denom
-        cos_dev = np.clip((1.0 - cos) * 3.0, 0.0, 1.0)
-    return 0.6 * l2n + 0.4 * cos_dev, l2, cos_dev
+# per-image scalars the fusion tail computes on device, in pack order
+TAIL_SCALARS = ("bayes_certainty", "bayes_posterior", "diri_conflict",
+                "diri_uncertainty", "embed_cos_dev", "embed_score",
+                "gen_likelihood", "hb_prob", "render_score", "xgb_prob")
 
 
 def _face_signals(engine, pixels_uint8):
@@ -101,6 +94,174 @@ def pad_to_bucket(pixels_uint8: np.ndarray, max_batch: int | None = None
     return np.concatenate([pixels_uint8, pad], axis=0)
 
 
+def _build_fusion_tail(engine: DetectEngine, fast: bool):
+    """ONE jitted device graph for everything predict_images needs beyond
+    the detect core: forensic battery, rendering score, embedding anomaly,
+    generator-likelihood vote, optional GBDT fusion override, Bayesian-V2 +
+    Dirichlet fusion and the hierarchical final probability — the fusion
+    math of appv3.py:5117-6227, batched. Launched un-fetched at dispatch
+    time; every per-image scalar packs into ONE (B, K) array so the host
+    pays a single blocking round trip and runs ZERO eager device ops per
+    batch (each eager op through a tunneled chip costs a full host<->chip
+    RTT; the pre-tail host path spent ~600 ms/batch on them).
+
+    Returns (jitted fn(core, pixels_uint8) -> (packed (B, K), aux), names)
+    where names maps packed columns back to signal names host-side."""
+    from tpudf.fuse.hierarchical import final_probability
+    from tpudf.fuse.temporal import render_scores_graph
+
+    core_names = FAST_SCALARS if fast else FULL_SCALARS
+    fb_keys = _battery_keys()
+    names = core_names + tuple(f"fb_{k}" for k in fb_keys) + TAIL_SCALARS
+    assert len(set(names)) == len(names), "packed-name collision"
+
+    mean_real = (None if engine.mean_real is None
+                 else jnp.asarray(engine.mean_real, jnp.float32))
+    gbdt = engine.gbdt
+    calib = engine.bayes_calibration
+
+    def tail(core, pixels_uint8):
+        b = pixels_uint8.shape[0]
+        x = pixels_uint8.astype(jnp.float32) / 255.0
+        if x.shape[1] != 256:
+            x = jax.image.resize(x, (b, 256, 256, 3), "bilinear")
+        fb = forensic_battery(x)
+        packed_core = core[_PACK_KEY].astype(jnp.float32)
+        cs = {k: packed_core[:, i] for i, k in enumerate(core_names)}
+        visual, freq = cs["visual_prob"], cs["freq_prob"]
+        zeros = jnp.zeros(b, jnp.float32)
+        if fast:
+            patch_mean = jnp.full(b, 0.5)
+            max_patch = jnp.full(b, 0.5)
+        else:
+            patch_mean, max_patch = cs["patch_mean"], cs["max_patch"]
+        patch_spread = max_patch - patch_mean
+        head_delta = jnp.abs(visual - freq)
+
+        # embedding anomaly (appv3.py:3494-3516) + rendering score
+        # (:5385-5394) — full path only, same gates as the reference
+        if fast:
+            embed_score, cos_dev, render = zeros, zeros, zeros
+        else:
+            l2n = jnp.minimum(1.0, cs["embed_l2"] / 28.0)
+            cos_dev = zeros
+            if mean_real is not None:
+                feat = core["embed_feat"].astype(jnp.float32)
+                denom = (jnp.linalg.norm(feat, axis=1)
+                         * jnp.linalg.norm(mean_real) + 1e-6)
+                cos = feat @ mean_real / denom
+                cos_dev = jnp.clip((1.0 - cos) * 3.0, 0.0, 1.0)
+            embed_score = 0.6 * l2n + 0.4 * cos_dev
+            render = render_scores_graph(pixels_uint8)
+
+        prnu_scaled = jnp.clip(fb["prnu_strength"] / 0.8, 0.0, 1.0)
+        # generator-likelihood vote (appv3.py:2569-2645 via :5472-5496)
+        gen = image_generator_likelihood({
+            "diffusion": fb["diffusion_v2"],
+            "perlin": fb["perlin"],
+            "texture_noise": fb["texture_noise"],
+            "render": render,
+            "jpeg_q": fb["jpeg_q_mismatch"],
+            "sat_peak": fb["saturation_peak"],
+            "spectral": fb["spectral_flatness"],
+            "cfa_fake": fb["cfa_fake"],
+            "esrgan": fb["esrgan_grid"],
+            "embedding_anomaly": embed_score,
+            "patch_spread": patch_spread,
+            "head_delta": head_delta,
+            "prnu_scaled": prnu_scaled,
+            "grain_real": fb["grain"],
+            "real_prior_v4": fb["real_prior_agg"],
+            "hc_score": 1.0 - fb["histogram_consistency"],
+        })
+        forensic_score = fb["forensic_v2"]
+
+        # XGBoost/GBDT fusion override (appv3.py:5507-5578): the booster
+        # probability replaces the core fusion probability; 19-d feature
+        # order matches the reference exactly
+        if gbdt is not None and not fast:
+            diff_v2, cfa = fb["diffusion_v2"], fb["cfa_fake"]
+            feats19 = jnp.stack([
+                cs["z_sig"], cs["z_freq"],
+                jnp.abs(cs["z_sig"] - cs["z_freq"]),
+                visual, freq,
+                jnp.clip(0.4 * diff_v2 + 0.6 * cfa, 0.0, 1.0),
+                diff_v2,
+                fb["spectral_flatness"],
+                zeros,                         # edge continuity (disabled)
+                fb["color_correlation"],
+                fb["jpeg_residual"],
+                embed_score,
+                max_patch, patch_mean, patch_spread,
+                cfa,
+                fb["texture_noise"],
+                fb["perlin"],
+                head_delta,
+            ], axis=1).astype(jnp.float32)
+            xgb = gbdt.predict_proba(feats19)
+            p_blend_eff = xgb
+        else:
+            xgb = jnp.full(b, jnp.nan, jnp.float32)
+            p_blend_eff = cs["p_blend"]
+
+        bayes = bayesian_fuse_v2({
+            "visual": visual, "freq": freq, "forensic": forensic_score,
+            "cfa": fb["cfa_fake"], "jpeg": fb["jpeg_q_mismatch"],
+            "prnu": 1.0 - prnu_scaled, "patch": patch_mean,
+        }, calibration=calib)
+        diri = dirichlet_fuse({
+            "visual": visual, "freq": freq, "forensic": forensic_score,
+            "cfa": fb["cfa_fake"], "jpeg": fb["jpeg_q_mismatch"],
+            "patch": patch_mean,
+        })
+        # hierarchical bayesian final probability (appv3.py:4956-5103);
+        # the FAKE/REAL label threshold stays host-side (DecisionConfig)
+        hb = final_probability(
+            visual, freq, p_blend_eff, cs["p_fake_coral"], forensic_score,
+            fb["diffusion"], max_patch, patch_mean, head_delta,
+            spectral_score=fb["spectral_flatness"],
+            color_score=fb["color_correlation"],
+            cfa_fake_score=fb["cfa_fake"], real_prior=fb["real_prior_v3"])
+
+        tail_vals = {
+            "bayes_certainty": bayes["certainty"],
+            "bayes_posterior": bayes["posterior_fake"],
+            "diri_conflict": diri["conflict"],
+            "diri_uncertainty": diri["uncertainty"],
+            "embed_cos_dev": cos_dev,
+            "embed_score": embed_score,
+            "gen_likelihood": gen,
+            "hb_prob": hb,
+            "render_score": render,
+            "xgb_prob": xgb,
+        }
+        cols = ([cs[k] for k in core_names]
+                + [fb[k] for k in fb_keys]
+                + [tail_vals[k] for k in TAIL_SCALARS])
+        packed = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+        aux = {"risk_probs": core["risk_probs"]}
+        if not fast:
+            aux["patch_probs"] = core["patch_probs"]
+        return packed, aux
+
+    return jax.jit(tail), names
+
+
+def _fusion_tail_for(engine: DetectEngine, fast: bool):
+    """Per-engine jit cache, keyed on the optional artifacts the tail closes
+    over (mean_real / gbdt / bayes_calibration). The cache value pins the
+    keyed objects so their ids cannot be recycled under us."""
+    cache = engine.__dict__.setdefault("_report_tail_cache", {})
+    key = (bool(fast), id(engine.mean_real), id(engine.gbdt),
+           id(engine.bayes_calibration))
+    hit = cache.get(key)
+    if hit is None:
+        fn, names = _build_fusion_tail(engine, fast)
+        hit = cache[key] = (fn, names, (engine.mean_real, engine.gbdt,
+                                        engine.bayes_calibration))
+    return hit[0], hit[1]
+
+
 def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
                     fast: bool = False, pad_batch: bool = False):
     """Phase 1 of predict_images: launch the device work and return the
@@ -116,146 +277,75 @@ def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     if pad_batch:
         pixels_uint8 = pad_to_bucket(np.asarray(pixels_uint8))
     core = engine.dispatch_batch(pixels_uint8, fast=fast)   # un-fetched
-    x = jnp.asarray(pixels_uint8).astype(jnp.float32) / 255.0
-    if x.shape[1] != 256:
-        x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "bilinear")
-    fb = _jitted_battery()(x)
-    if fast:
-        render = None
-    else:
-        from tpudf.fuse.temporal import _jitted_render_scores
-        render = _jitted_render_scores()(jnp.asarray(pixels_uint8))
-    return core, fb, render
+    fn, names = _fusion_tail_for(engine, fast)
+    packed, aux = fn(core, jnp.asarray(pixels_uint8))
+    return packed, aux, names
 
 
 def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
                    decision: DecisionConfig = DEFAULT_DECISION,
                    fast: bool = False, _dispatched=None) -> list[dict]:
     """pixels_uint8: (B, S, S, 3) → list of per-image report dicts."""
-    core, fb, render_fut = (_dispatched if _dispatched is not None
-                            else dispatch_images(engine, pixels_uint8, fast))
-    # ONE blocking device_get for everything dispatch launched (core graph +
-    # forensic battery + render scores) — per-tree (let alone per-leaf)
-    # fetches each pay a full host<->chip round trip, which dominates
-    # serving latency through a remote runtime. Then slice every per-image
-    # leaf back to the true batch in case dispatch padded to a pow2 bucket.
+    packed, aux, names = (_dispatched if _dispatched is not None
+                          else dispatch_images(engine, pixels_uint8, fast))
+    # ONE blocking device_get for everything dispatch launched (detect core
+    # + forensic battery + render + all fusion math, packed into one
+    # (B, K) array by the fusion tail) — per-leaf fetches and eager device
+    # ops each pay a full host<->chip round trip, which dominates serving
+    # latency through a remote runtime. Everything below is pure numpy.
+    # Slice back to the true batch in case dispatch padded to a pow2 bucket.
     b = pixels_uint8.shape[0]
-    core, fb, render_fut = jax.device_get((core, fb, render_fut))
-    core = DetectEngine.fetch_batch(core, fast=fast)
-    fb = {k: np.asarray(v)[:b] for k, v in fb.items()}
-    core = {k: np.asarray(v)[:b] for k, v in core.items()}
-    p_blend = np.asarray(core["p_blend"], np.float64)
-    visual = np.asarray(core["visual_prob"], np.float64)
-    freq = np.asarray(core["freq_prob"], np.float64)
+    packed, aux = jax.device_get((packed, aux))
+    packed = np.asarray(packed, np.float64)[:b]
+    vals = {k: packed[:, i] for i, k in enumerate(names)}
+    aux = {k: np.asarray(v)[:b] for k, v in aux.items()}
+    fb = {k[3:]: v for k, v in vals.items() if k.startswith("fb_")}
+    core = {k: v for k, v in vals.items() if not k.startswith("fb_")}
+
+    p_blend = core["p_blend"]
+    visual = core["visual_prob"]
+    freq = core["freq_prob"]
     if fast:
         patch_mean = np.full(b, 0.5)
         max_patch = np.full(b, 0.5)
     else:
-        patch_mean = np.asarray(core["patch_mean"], np.float64)
-        max_patch = np.asarray(core["max_patch"], np.float64)
+        patch_mean = core["patch_mean"]
+        max_patch = core["max_patch"]
     patch_spread = max_patch - patch_mean
 
-    # full-path-only host/anchored signals (appv3.py gates these on
-    # `not fast_mode` too: embed :5240-5242, render :5385-5394, face :5429)
+    # full-path-only signals (appv3.py gates these on `not fast_mode` too:
+    # embed :5240-5242, render :5385-5394, face :5429); the tail emits
+    # zeros for embed/render in fast mode, matching the reference defaults
+    embed_score = core["embed_score"]
+    embed_l2 = core.get("embed_l2", np.zeros(b))
+    embed_cos = core["embed_cos_dev"]
+    render = core["render_score"]
     if fast:
-        embed_score = np.zeros(b)
-        embed_l2 = np.zeros(b)
-        embed_cos = np.zeros(b)
-        render = np.zeros(b)
         face_p_fake = [None] * b
         face_retouch = [None] * b
     else:
-        embed_score, embed_l2, embed_cos = _embedding_anomaly(
-            core, engine.mean_real)
-        render = np.asarray(render_fut, np.float64)[:b]
         face_p_fake, face_retouch = _face_signals(engine, pixels_uint8)
 
-    # generator-likelihood vote (appv3.py:2569-2645 via :5472-5496)
-    gen = np.asarray(image_generator_likelihood({
-        "diffusion": jnp.asarray(fb["diffusion_v2"]),
-        "perlin": jnp.asarray(fb["perlin"]),
-        "texture_noise": jnp.asarray(fb["texture_noise"]),
-        "render": jnp.asarray(render),
-        "jpeg_q": jnp.asarray(fb["jpeg_q_mismatch"]),
-        "sat_peak": jnp.asarray(fb["saturation_peak"]),
-        "spectral": jnp.asarray(fb["spectral_flatness"]),
-        "cfa_fake": jnp.asarray(fb["cfa_fake"]),
-        "esrgan": jnp.asarray(fb["esrgan_grid"]),
-        "embedding_anomaly": jnp.asarray(embed_score),
-        "patch_spread": jnp.asarray(patch_spread),
-        "head_delta": jnp.asarray(np.abs(visual - freq)),
-        "prnu_scaled": jnp.asarray(np.clip(fb["prnu_strength"] / 0.8, 0, 1)),
-        "grain_real": jnp.asarray(fb["grain"]),
-        "real_prior_v4": jnp.asarray(fb["real_prior_agg"]),
-        "hc_score": jnp.asarray(1.0 - fb["histogram_consistency"]),
-    }))
-
+    gen = core["gen_likelihood"]
     # v3 forensic fusion (appv3.py:2934-2951 via :5455 forensic_v2)
-    forensic_score = fb["forensic_v2"].astype(np.float64)
+    forensic_score = fb["forensic_v2"]
 
-    # XGBoost/GBDT fusion override (appv3.py:5507-5578): when a booster +
-    # Platt artifact is attached, its probability replaces the core fusion
-    # probability (19-d feature order matches the reference exactly)
+    # GBDT fusion override: probability computed in-tail; NaN marks "no
+    # booster attached" (the tail is cached per engine-artifact identity)
     xgb_prob = None
     if engine.gbdt is not None and not fast:
-        z_sig_v = np.asarray(core["z_sig"], np.float64)
-        z_freq_v = np.asarray(core["z_freq"], np.float64)
-        diff_v2 = fb["diffusion_v2"].astype(np.float64)
-        cfa = fb["cfa_fake"].astype(np.float64)
-        feats19 = np.stack([
-            z_sig_v, z_freq_v, np.abs(z_sig_v - z_freq_v),
-            visual, freq,
-            np.clip(0.4 * diff_v2 + 0.6 * cfa, 0, 1),
-            diff_v2,
-            fb["spectral_flatness"].astype(np.float64),
-            np.zeros(b),                       # edge continuity (disabled)
-            fb["color_correlation"].astype(np.float64),
-            fb["jpeg_residual"].astype(np.float64),
-            embed_score,
-            max_patch, patch_mean, patch_spread,
-            cfa,
-            fb["texture_noise"].astype(np.float64),
-            fb["perlin"].astype(np.float64),
-            np.abs(visual - freq),
-        ], axis=1).astype(np.float32)
-        xgb_prob = np.asarray(engine.gbdt.predict_proba(
-            jnp.asarray(feats19)), np.float64)
+        xgb_prob = core["xgb_prob"]
         p_blend = xgb_prob.copy()
 
-    bayes = jax.tree.map(np.asarray, bayesian_fuse_v2({
-        "visual": jnp.asarray(visual),
-        "freq": jnp.asarray(freq),
-        "forensic": jnp.asarray(forensic_score),
-        "cfa": jnp.asarray(fb["cfa_fake"]),
-        "jpeg": jnp.asarray(fb["jpeg_q_mismatch"]),
-        "prnu": jnp.asarray(1.0 - np.clip(fb["prnu_strength"] / 0.8, 0, 1)),
-        "patch": jnp.asarray(patch_mean),
-    }, calibration=getattr(engine, "bayes_calibration", None)))
-    diri = jax.tree.map(np.asarray, dirichlet_fuse({
-        "visual": jnp.asarray(visual),
-        "freq": jnp.asarray(freq),
-        "forensic": jnp.asarray(forensic_score),
-        "cfa": jnp.asarray(fb["cfa_fake"]),
-        "jpeg": jnp.asarray(fb["jpeg_q_mismatch"]),
-        "patch": jnp.asarray(patch_mean),
-    }))
-
-    # hierarchical bayesian final decision (v2 engine, appv3.py:4956-5103)
-    from tpudf.fuse.hierarchical import final_decision
-    hb_prob, hb_label = final_decision(
-        visual_prob=jnp.asarray(visual), freq_prob=jnp.asarray(freq),
-        fusion_prob=jnp.asarray(p_blend),
-        coral_prob=jnp.asarray(np.asarray(core["p_fake_coral"])),
-        forensic_score=jnp.asarray(forensic_score),
-        diff_score=jnp.asarray(fb["diffusion"]),
-        max_patch=jnp.asarray(max_patch), patch_mean=jnp.asarray(patch_mean),
-        head_delta=jnp.asarray(np.abs(visual - freq)),
-        spectral_score=jnp.asarray(fb["spectral_flatness"]),
-        color_score=jnp.asarray(fb["color_correlation"]),
-        cfa_fake_score=jnp.asarray(fb["cfa_fake"]),
-        real_prior=jnp.asarray(fb["real_prior_v3"]),
-        fake_thresh=decision.final_fake_thresh)
-    hb_prob = np.asarray(hb_prob)
+    bayes = {"posterior_fake": core["bayes_posterior"],
+             "certainty": core["bayes_certainty"]}
+    diri = {"uncertainty": core["diri_uncertainty"],
+            "conflict": core["diri_conflict"]}
+    # hierarchical bayesian final decision (v2 engine, appv3.py:4956-5103):
+    # probability from the in-tail final_probability; label threshold here
+    hb_prob = core["hb_prob"]
+    hb_label = np.where(hb_prob >= decision.final_fake_thresh,
+                        "FAKE", "REAL")
 
     reports = []
     for i in range(b):
@@ -331,7 +421,7 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
             "tamper_votes": cascade["tamper_votes"],
             "real_gate": cascade["real_gate"],
             "risk_idx": int(np.asarray(core["risk_idx"])[i]),
-            "risk_probs": np.asarray(core["risk_probs"])[i].tolist(),
+            "risk_probs": np.asarray(aux["risk_probs"])[i].tolist(),
             "entropy": float(np.asarray(core["entropy"])[i]),
             "visual_head": float(visual[i]),
             "freq_head": float(freq[i]),
@@ -370,7 +460,7 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
         for k, v in fb.items():
             report[f"forensic_{k}"] = float(v[i])
         if not fast:
-            report["patch_probs"] = np.asarray(core["patch_probs"])[i].tolist()
+            report["patch_probs"] = np.asarray(aux["patch_probs"])[i].tolist()
         verdict = decide_verdict(report)
         report["verdict"] = {
             "label": verdict.label, "band": verdict.band,
