@@ -186,6 +186,52 @@ class DetectEngine:
         return self.fetch_batch(self.dispatch_batch(pixels_uint8, fast=True),
                                 fast=True)
 
+    def embed_batch(self, pixels_uint8, pad: bool = True) -> np.ndarray:
+        """L2-normalized pooled SigLIP features for (B, h, w, 3) uint8
+        frames — ONE jitted tower forward (resize to the tower input size
+        inside the graph) instead of eager per-op dispatch, which pays a
+        host<->chip round trip per op through a tunneled runtime. The batch
+        pads to a pow2 bucket so variable frame/crop counts compile at most
+        log2(B)+1 graphs. Used by the video temporal path (identity drift,
+        face embedding/track drift — appv3.py:3650-3755)."""
+        px = np.asarray(pixels_uint8)
+        b = px.shape[0]
+        if pad:
+            px = pad_to_bucket(px)
+        fn = self.__dict__.get("_embed_fn")
+        if fn is None:
+            cfg, policy = self.cfg, self.policy
+
+            def f(backbone, pixels):
+                x = pixels.astype(jnp.float32) / 255.0
+                s = cfg.image_size
+                if x.shape[1] != s or x.shape[2] != s:
+                    x = jax.image.resize(x, (x.shape[0], s, s, 3),
+                                         "bilinear")
+                feats = siglip_forward(backbone, normalize_siglip(x), cfg,
+                                       policy)["pooled"].astype(jnp.float32)
+                return feats / (jnp.linalg.norm(feats, axis=-1,
+                                                keepdims=True) + 1e-6)
+
+            fn = self.__dict__["_embed_fn"] = jax.jit(f)
+        return np.asarray(jax.device_get(
+            fn(self.backbone, jnp.asarray(px))))[:b]
+
+
+def pad_to_bucket(pixels_uint8: np.ndarray, max_batch: int | None = None
+                  ) -> np.ndarray:
+    """Pad the batch dim up to the next power of two (capped at max_batch)
+    by repeating the last image, so a serving workload compiles at most
+    log2(max_batch)+1 device graphs instead of one per request count."""
+    b = pixels_uint8.shape[0]
+    bucket = 1 << max(0, (b - 1).bit_length())
+    if max_batch is not None:
+        bucket = min(bucket, max(max_batch, b))
+    if bucket == b:
+        return pixels_uint8
+    pad = np.repeat(pixels_uint8[-1:], bucket - b, axis=0)
+    return np.concatenate([pixels_uint8, pad], axis=0)
+
 
 def _freq_gray(views_flat):
     """Grayscale at the reference's fixed 256px feature resolution

@@ -24,7 +24,7 @@ from tpudf.fuse.decision import (DecisionConfig, DEFAULT_DECISION,
 from tpudf.fuse.verdict import decide_verdict
 from tpudf.ops.forensics import forensic_battery, image_generator_likelihood
 from tpudf.serve.engine import (DetectEngine, FAST_SCALARS, FULL_SCALARS,
-                                _PACK_KEY)
+                                _PACK_KEY, pad_to_bucket)
 
 
 @functools.lru_cache(maxsize=1)
@@ -77,21 +77,6 @@ def _face_signals(engine, pixels_uint8):
         for j, i in enumerate(idx):
             p_fake[i] = float(raw[j])
     return p_fake, retouch
-
-
-def pad_to_bucket(pixels_uint8: np.ndarray, max_batch: int | None = None
-                  ) -> np.ndarray:
-    """Pad the batch dim up to the next power of two (capped at max_batch)
-    by repeating the last image, so a serving workload compiles at most
-    log2(max_batch)+1 device graphs instead of one per request count."""
-    b = pixels_uint8.shape[0]
-    bucket = 1 << max(0, (b - 1).bit_length())
-    if max_batch is not None:
-        bucket = min(bucket, max(max_batch, b))
-    if bucket == b:
-        return pixels_uint8
-    pad = np.repeat(pixels_uint8[-1:], bucket - b, axis=0)
-    return np.concatenate([pixels_uint8, pad], axis=0)
 
 
 def _build_fusion_tail(engine: DetectEngine, fast: bool):
@@ -472,6 +457,64 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     return reports
 
 
+def _video_temporal_for(engine: DetectEngine, frames_uint8,
+                        with_embeds: bool):
+    """ONE jitted device graph for the per-video temporal/SORA battery:
+    compute_temporal_signals (incl. the dense-LK flow family) + identity
+    drift from the engine tower's own frame embeddings + the
+    render-regularity score — packed into a single (K,) array. The eager
+    form paid a host<->chip round trip per op plus one fetch per signal
+    (~20 signals), which dominated the video path through a tunneled
+    runtime. Returns (jitted fn(backbone, frames) -> (K,), names)."""
+    t, s = int(frames_uint8.shape[0]), int(frames_uint8.shape[1])
+    cache = engine.__dict__.setdefault("_video_temporal_cache", {})
+    key = (t, s, bool(with_embeds), id(engine.backbone))
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+
+    from tpudf.data.pipeline import normalize_siglip
+    from tpudf.fuse.temporal import compute_temporal_signals
+    from tpudf.models.siglip import siglip_forward
+    from tpudf.ops.flow import exposure_blur_regularity
+    cfg, policy = engine.cfg, engine.policy
+
+    def sig_dict(backbone, frames):
+        x = frames.astype(jnp.float32) / 255.0
+        x256 = (x if s == 256 else
+                jax.image.resize(x, (t, 256, 256, 3), "bilinear"))
+        embeds = None
+        if with_embeds:
+            si = cfg.image_size
+            xs = (x if s == si else
+                  jax.image.resize(x, (t, si, si, 3), "bilinear"))
+            feats = siglip_forward(backbone, normalize_siglip(xs), cfg,
+                                   policy)["pooled"].astype(jnp.float32)
+            embeds = feats / (jnp.linalg.norm(feats, axis=-1,
+                                              keepdims=True) + 1e-6)
+        sig = compute_temporal_signals(x256, embeds)
+        # over-regular camera-simulation score across the sampled frames
+        # (the video counterpart of appv3.py:2525-2566)
+        w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+        exposure, blur = exposure_blur_regularity(x256 @ w)
+        sig["render_regularity"] = jnp.clip(
+            0.55 * exposure + 0.45 * blur, 0.0, 1.0)
+        return sig
+
+    names = tuple(sorted(jax.eval_shape(
+        sig_dict, engine.backbone,
+        jax.ShapeDtypeStruct((t, s, s, 3), jnp.uint8))))
+
+    def packed(backbone, frames):
+        sig = sig_dict(backbone, frames)
+        return jnp.stack([jnp.asarray(sig[k], jnp.float32) for k in names])
+
+    fn = jax.jit(packed)
+    # pin the keyed backbone so its id cannot be recycled under the cache
+    cache[key] = (fn, names, engine.backbone)
+    return fn, names
+
+
 # sora escalation constants (appv3.py:163-185 defaults)
 SORA_TAMPERED_THRESH = 0.15
 SORA_FAKE_THRESH = 0.20
@@ -495,11 +538,29 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
     Mirrors the video branch (appv3.py:6254-6630): fast per-frame scoring,
     aggregation, temporal/sora battery, odds-multiplier escalation, full
     analysis on the chosen frame."""
-    from tpudf.fuse.temporal import (aggregate_sora, compute_temporal_signals,
-                                     host_flow_signals)
+    from tpudf.fuse.temporal import aggregate_sora, host_flow_signals
     from tpudf.fuse.video_agg import (aggregate_video_probs,
                                       temporal_frame_weights)
-    frame_reports = predict_images(engine, frames_uint8, decision, fast=True)
+    t = len(frames_uint8)
+    # dispatch EVERY device graph before the first blocking fetch: the
+    # per-frame detect batch, then the temporal/SORA battery — so the chip
+    # pipelines both while the host waits once
+    disp = dispatch_images(engine, frames_uint8, fast=True)
+    temporal_fut, temporal_names = None, ()
+    if temporal_signals and t >= 3:
+        try:
+            fn, temporal_names = _video_temporal_for(engine, frames_uint8,
+                                                     with_embeds=True)
+            temporal_fut = fn(engine.backbone, jnp.asarray(frames_uint8))
+        except Exception:
+            # tower failure (odd geometry etc.) → battery without the
+            # id-drift embeddings, like the reference's embed try/except
+            fn, temporal_names = _video_temporal_for(engine, frames_uint8,
+                                                     with_embeds=False)
+            temporal_fut = fn(engine.backbone, jnp.asarray(frames_uint8))
+
+    frame_reports = predict_images(engine, frames_uint8, decision, fast=True,
+                                   _dispatched=disp)
     probs = np.asarray([r["final_prob"] for r in frame_reports])
     preds = [r["final_label"] for r in frame_reports]
     diffs = np.abs(np.diff(frames_uint8.astype(np.float32), axis=0)).mean(
@@ -514,49 +575,22 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
     sora = {"sora_likelihood": 0.0, "temporal_consistency_score": 0.0,
             "sora_flag": False}
     signals = {}
-    if temporal_signals and len(frames_uint8) >= 3:
-        x = jnp.asarray(frames_uint8).astype(jnp.float32) / 255.0
-        if x.shape[1] != 256:
-            x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "bilinear")
-        embeds = None
-        try:
-            from tpudf.models.siglip import siglip_forward
-            from tpudf.data.pipeline import normalize_siglip
-            xs = jax.image.resize(
-                jnp.asarray(frames_uint8).astype(jnp.float32) / 255.0,
-                (len(frames_uint8), engine.cfg.image_size,
-                 engine.cfg.image_size, 3), "bilinear")
-            feats = siglip_forward(engine.backbone, normalize_siglip(xs),
-                                   engine.cfg, engine.policy)["pooled"]
-            embeds = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True)
-                              + 1e-6)
-        except Exception:
-            pass
-        # device graph includes the dense-LK flow family (ops/flow.py);
+    if temporal_fut is not None:
         # NaN marks reference-gated signals (e.g. parallax when static)
-        for k, v in compute_temporal_signals(x, embeds).items():
-            f = float(v)
-            if f == f:
-                signals[k] = f
+        packed = np.asarray(jax.device_get(temporal_fut), np.float64)
+        signals = {k: float(v) for k, v in zip(temporal_names, packed)
+                   if float(v) == float(v)}
         if flow_signals:
             # optional host-cv2 flow battery (legacy cross-check; overrides
             # the device values where it produces a signal)
             signals.update(host_flow_signals(list(frames_uint8)))
 
         # face temporal drift family (appv3.py:3557-3755) — 22% of the
-        # SORA vote; embeddings come from the engine's own tower
+        # SORA vote; embeddings come from the engine's own tower via ONE
+        # jitted, bucket-padded forward (engine.embed_batch) instead of an
+        # eager per-op dispatch
         from tpudf.serve import face as face_mod
-
-        def _face_embed_fn(batch_uint8):
-            from tpudf.models.siglip import siglip_forward
-            from tpudf.data.pipeline import normalize_siglip
-            xs = jax.image.resize(
-                jnp.asarray(batch_uint8).astype(jnp.float32) / 255.0,
-                (len(batch_uint8), engine.cfg.image_size,
-                 engine.cfg.image_size, 3), "bilinear")
-            return np.asarray(siglip_forward(
-                engine.backbone, normalize_siglip(xs), engine.cfg,
-                engine.policy)["pooled"])
+        _face_embed_fn = engine.embed_batch
 
         # landmark net (models/face_landmark.py) if cached/provided;
         # None → Haar box-geometry fallback inside each signal
@@ -583,14 +617,9 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
             if v is not None:
                 signals[key] = float(v)
 
-        # rendering-pipeline regularity over the sampled frames (the video
-        # counterpart of appv3.py:2525-2566; reported, not SORA-weighted)
-        try:
-            from tpudf.fuse.temporal import rendering_pipeline_score
-            signals["render_regularity"] = float(
-                rendering_pipeline_score(list(frames_uint8)))
-        except Exception:
-            pass
+        # render_regularity (the video counterpart of appv3.py:2525-2566;
+        # reported, not SORA-weighted) is computed inside the jitted
+        # temporal graph (_video_temporal_for)
         sora = aggregate_sora(signals)
 
     # escalation cascade (appv3.py:6507-6534)
