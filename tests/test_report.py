@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from tpudf.calib.coral import CoralCutpoints
 from tpudf.core.precision import F32_POLICY
@@ -54,3 +55,49 @@ def test_report_json_serializable(engine):
     import json
     px = np.random.default_rng(2).integers(0, 256, (1, 32, 32, 3), np.uint8)
     json.dumps(predict_images(engine, px))
+
+
+def test_video_temporal_jitted_matches_eager(engine):
+    """The packed one-graph video temporal battery (_video_temporal_for)
+    must agree with the eager compute_temporal_signals it replaced."""
+    from tpudf.fuse.temporal import compute_temporal_signals
+    from tpudf.serve.report import _video_temporal_for
+    frames = np.random.default_rng(3).integers(0, 256, (4, 32, 32, 3),
+                                               np.uint8)
+    fn, names = _video_temporal_for(engine, frames, with_embeds=False)
+    packed = np.asarray(jax.device_get(fn(engine.backbone,
+                                          jnp.asarray(frames))))
+    assert len(names) == len(packed)
+    x = jax.image.resize(jnp.asarray(frames, jnp.float32) / 255.0,
+                         (4, 256, 256, 3), "bilinear")
+    eager = compute_temporal_signals(x)
+    got = dict(zip(names, packed))
+    for k, v in eager.items():
+        e = float(v)
+        if e != e:  # NaN marks reference-gated signals
+            assert got[k] != got[k]
+        else:
+            np.testing.assert_allclose(got[k], e, rtol=2e-2, atol=2e-3)
+    assert "render_regularity" in got and 0.0 <= got["render_regularity"] <= 1
+
+
+def test_video_report_has_temporal_signals(engine):
+    frames = np.random.default_rng(4).integers(0, 256, (4, 32, 32, 3),
+                                               np.uint8)
+    out = predict_video(engine, frames)
+    sigs = out["temporal_signals"]
+    for key in ("id_drift", "spectral_drift", "flow_reprojection",
+                "render_regularity"):
+        assert key in sigs, key
+    assert all(v == v for v in sigs.values())  # NaNs filtered out
+
+
+def test_embed_batch_bucket_padding(engine):
+    """embed_batch pads to a pow2 bucket but returns exactly B rows, and
+    the rows are identical to the unpadded forward."""
+    px = np.random.default_rng(5).integers(0, 256, (3, 32, 32, 3), np.uint8)
+    out = engine.embed_batch(px)
+    assert out.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-3)
+    unpadded = engine.embed_batch(px, pad=False)
+    np.testing.assert_allclose(out, unpadded, rtol=1e-4, atol=1e-5)

@@ -227,7 +227,14 @@ def face_crop(image_rgb_uint8, margin=0.25, out_size=None):
     boxes = detect_faces(image_rgb_uint8)
     if not boxes:
         return None
-    x, y, w, h = max(boxes, key=lambda b: b[2] * b[3])
+    return _crop_from_box(image_rgb_uint8,
+                          max(boxes, key=lambda b: b[2] * b[3]),
+                          margin=margin, out_size=out_size)
+
+
+def _crop_from_box(image_rgb_uint8, box, margin=0.25, out_size=None):
+    """Square crop with margin around an already-detected (x, y, w, h)."""
+    x, y, w, h = box
     cx, cy = x + w / 2, y + h / 2
     s = max(w, h) * (1 + 2 * margin)
     H, W = image_rgb_uint8.shape[:2]
@@ -286,104 +293,99 @@ def _clip_landmarks(frames_rgb_uint8, lm_params):
     return lms, box_px
 
 
-def face_topology_drift(frames_rgb_uint8, lm_params=None):
-    """Per-frame face-geometry drift (appv3.py:3557-3605).
-
-    Landmark path (primary): drift of the inter-ocular-normalized 10-d
-    pairwise-distance vector of the 5 landmarks — a real face-geometry
-    signature (face swaps change eye/mouth proportions even when the box
-    is stable). Haar fallback: largest-box aspect/position/size vector.
-    Same drift map: clip((mean step - lo) / span, 0, 1). None if < 3
-    faces."""
-    lms, box_px = _clip_landmarks(frames_rgb_uint8, lm_params)
-    if lms is not None:
-        vecs = _median3([landmark_topology_vec(l, box_px=b)
-                         for l, b in zip(lms, box_px) if l is not None])
-        diffs = [float(np.linalg.norm(vecs[i] - vecs[i + 1]))
-                 for i in range(len(vecs) - 1)]
-        drift = float(np.mean(diffs))
-        # same drift map as the reference (appv3.py:3600-3605)
-        return float(np.clip((drift - 0.03) / 0.12, 0.0, 1.0))
-    vecs = []
-    for f in frames_rgb_uint8:
-        boxes = detect_faces(np.asarray(f))
-        if not boxes:
-            continue
-        box = max(boxes, key=lambda b: b[2] * b[3])
-        vecs.append(_box_geometry_vec(box, np.asarray(f).shape))
-    if len(vecs) < 3:
-        return None
+def _drift_map(vecs, lo, span):
+    """Mean step-to-step L2 drift of a vector track, mapped to [0, 1] via
+    the reference's clip((drift - lo) / span) (appv3.py:3600-3605)."""
     diffs = [float(np.linalg.norm(vecs[i] - vecs[i + 1]))
              for i in range(len(vecs) - 1)]
-    drift = float(np.mean(diffs))
-    return float(np.clip((drift - 0.03) / 0.12, 0.0, 1.0))
+    return float(np.clip((float(np.mean(diffs)) - lo) / span, 0.0, 1.0))
 
 
-def _dominant_crops(frames_rgb_uint8, lm_params, out_size=112):
-    """(crops list, geometry-vector list) for the dominant face track —
-    landmark-aligned when the net is available, Haar otherwise."""
-    lms, _ = _clip_landmarks(frames_rgb_uint8, lm_params)
-    crops, geom = [], []
+def face_temporal_signals(frames_rgb_uint8, embed_fn=None, lm_params=None,
+                          out_size=112):
+    """All three face temporal drift signals (appv3.py:3557-3755) from ONE
+    shared detection / alignment / embedding pass over the clip.
+
+    The per-signal functions below delegate here; call this directly in
+    the video path so face detection runs once per clip (not once per
+    signal) and the crop embeddings are computed once (not twice).
+
+    Landmark path (primary): 5-pt landmark net → inter-ocular-normalized
+    10-d pairwise-distance topology vector + landmark-aligned 112px crops.
+    Haar fallback: largest-box geometry vector + margin crops. Values are
+    None where a signal is unavailable (< 3 faces / no embed_fn)."""
+    frames = [np.asarray(f) for f in frames_rgb_uint8]
+    lms, box_px = _clip_landmarks(frames, lm_params)
+    topo_vecs, crops, geom = [], [], []
     if lms is not None:
-        for f, l in zip(frames_rgb_uint8, lms):
+        topo_vecs = _median3([landmark_topology_vec(l, box_px=b)
+                              for l, b in zip(lms, box_px) if l is not None])
+        for f, l in zip(frames, lms):
             if l is None:
                 continue
             crops.append(face_crop_from_landmarks(f, l, out_size=out_size))
-            arr = np.asarray(f)
             c = l.mean(0)
             iod = float(np.linalg.norm(l[0] - l[1]))
             geom.append(np.asarray(
-                [c[0] / arr.shape[1], c[1] / arr.shape[0],
-                 iod / arr.shape[1]], np.float32))
-        return crops, geom
-    for f in frames_rgb_uint8:
-        arr = np.asarray(f)
-        boxes = detect_faces(arr)
-        if not boxes:
-            continue
-        box = max(boxes, key=lambda b: b[2] * b[3])
-        geom.append(_box_geometry_vec(box, arr.shape))
-        c = face_crop(arr, out_size=out_size)
-        if c is not None:
-            crops.append(c)
-    return crops, geom
+                [c[0] / f.shape[1], c[1] / f.shape[0],
+                 iod / f.shape[1]], np.float32))
+    else:
+        for f in frames:
+            boxes = detect_faces(f)
+            if not boxes:
+                continue
+            box = max(boxes, key=lambda b: b[2] * b[3])
+            v = _box_geometry_vec(box, f.shape)
+            topo_vecs.append(v)
+            geom.append(v)
+            c = _crop_from_box(f, box, out_size=out_size)
+            if c is not None:
+                crops.append(c)
 
+    topology = (_drift_map(topo_vecs, 0.03, 0.12)
+                if len(topo_vecs) >= 3 else None)
 
-def face_track_drift(frames_rgb_uint8, embed_fn, lm_params=None):
-    """Dominant-face track drift (appv3.py:3650-3755): 0.6 x embedding
-    drift + 0.4 x geometry drift over the dominant face track
-    (landmark-centered when the net is available; greedy largest Haar box
-    otherwise). The embedding stream uses `embed_fn` (the engine tower) on
-    112px aligned crops."""
-    crops, geom = _dominant_crops(frames_rgb_uint8, lm_params)
-    scores = []
+    # one embedding pass over the dominant-face crop track
+    emb_drift = None
     if len(crops) >= 3 and embed_fn is not None:
         emb = np.asarray(embed_fn(np.stack(crops)))
         emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-6)
-        sims = np.sum(emb[:-1] * emb[1:], axis=1)
-        drift = 1.0 - float(np.mean(sims))
-        scores.append((float(np.clip((drift - 0.04) / 0.20, 0.0, 1.0)), 0.6))
+        emb_drift = 1.0 - float(np.mean(np.sum(emb[:-1] * emb[1:], axis=1)))
+
+    embedding = (float(np.clip((emb_drift - 0.05) / 0.40, 0.0, 1.0))
+                 if emb_drift is not None else None)
+
+    # track drift: 0.6 x embedding stream + 0.4 x geometry stream
+    scores = []
+    if emb_drift is not None:
+        scores.append((float(np.clip((emb_drift - 0.04) / 0.20, 0.0, 1.0)),
+                       0.6))
     if len(geom) >= 3:
-        diffs = [float(np.linalg.norm(geom[i] - geom[i + 1]))
-                 for i in range(len(geom) - 1)]
-        drift = float(np.mean(diffs))
-        scores.append((float(np.clip((drift - 0.03) / 0.12, 0.0, 1.0)), 0.4))
-    if not scores:
-        return None
-    tw = sum(w for _, w in scores)
-    return float(sum(v * w for v, w in scores) / tw)
+        scores.append((_drift_map(geom, 0.03, 0.12), 0.4))
+    track = (float(sum(v * w for v, w in scores)
+                   / sum(w for _, w in scores)) if scores else None)
+
+    return {"face_topology_drift": topology,
+            "face_embedding_drift": embedding,
+            "face_track_drift": track}
+
+
+def face_topology_drift(frames_rgb_uint8, lm_params=None):
+    """Per-frame face-geometry drift (appv3.py:3557-3605); see
+    face_temporal_signals."""
+    return face_temporal_signals(
+        frames_rgb_uint8, None, lm_params)["face_topology_drift"]
+
+
+def face_track_drift(frames_rgb_uint8, embed_fn, lm_params=None):
+    """Dominant-face track drift (appv3.py:3650-3755); see
+    face_temporal_signals."""
+    return face_temporal_signals(
+        frames_rgb_uint8, embed_fn, lm_params)["face_track_drift"]
 
 
 def face_embedding_drift(frames_rgb_uint8, embed_fn, lm_params=None):
-    """Per-frame face-crop embedding drift (ArcFace-drift substitute).
-    Crops are landmark-aligned when the net is available — alignment makes
-    the embedding stream track identity rather than head pose.
-    embed_fn(batch_uint8 (N,S,S,3)) → (N, D) L2-normalized embeddings."""
-    crops, _ = _dominant_crops(frames_rgb_uint8, lm_params)
-    if len(crops) < 3:
-        return None
-    emb = np.asarray(embed_fn(np.stack(crops)))
-    emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-6)
-    sims = np.sum(emb[:-1] * emb[1:], axis=1)
-    drift = 1.0 - float(np.mean(sims))
-    return float(np.clip((drift - 0.05) / 0.40, 0.0, 1.0))
+    """Face-crop embedding drift (ArcFace-drift substitute); see
+    face_temporal_signals."""
+    return face_temporal_signals(
+        frames_rgb_uint8, embed_fn, lm_params)["face_embedding_drift"]

@@ -593,29 +593,19 @@ def predict_video(engine: DetectEngine, frames_uint8: np.ndarray,
         _face_embed_fn = engine.embed_batch
 
         # landmark net (models/face_landmark.py) if cached/provided;
-        # None → Haar box-geometry fallback inside each signal
+        # None → Haar box-geometry fallback inside each signal. ONE shared
+        # detection/alignment/embedding pass yields all three signals.
         try:
             lm_params = face_mod.get_landmark_params()
         except Exception:
             lm_params = None
-        for key, compute in (
-                ("face_topology_drift",
-                 lambda: face_mod.face_topology_drift(
-                     list(frames_uint8), lm_params=lm_params)),
-                ("face_embedding_drift",
-                 lambda: face_mod.face_embedding_drift(
-                     list(frames_uint8), _face_embed_fn,
-                     lm_params=lm_params)),
-                ("face_track_drift",
-                 lambda: face_mod.face_track_drift(
-                     list(frames_uint8), _face_embed_fn,
-                     lm_params=lm_params))):
-            try:
-                v = compute()
-            except Exception:
-                v = None
-            if v is not None:
-                signals[key] = float(v)
+        try:
+            face_sigs = face_mod.face_temporal_signals(
+                list(frames_uint8), _face_embed_fn, lm_params=lm_params)
+        except Exception:
+            face_sigs = {}
+        signals.update({k: float(v) for k, v in face_sigs.items()
+                        if v is not None})
 
         # render_regularity (the video counterpart of appv3.py:2525-2566;
         # reported, not SORA-weighted) is computed inside the jitted
