@@ -66,3 +66,41 @@ def test_train_binary_cli_deployed_features(image_dataset, tmp_path):
           "--warmup_steps", "2", "--no_augment", "--int8_backbone",
           "--tome_r"])
     assert os.path.exists(os.path.join(save, "training_log.csv"))
+
+
+def test_infer_cli_few_shot_calibrate_invert(image_dataset, tmp_path):
+    """S12/S13 inference extras: --invert_logits flips final_prob
+    (inference_ai_human_images.py:728), --few_shot samples + saves a
+    reproducible support CSV (:544-555) and reports adapted metrics, and a
+    second run loads the saved support set; --calibrate fits isotonic +
+    temperature on a held split (inference_deepfakeface_complete.py
+    :383-478)."""
+    from tpudf.cli.infer import main
+    out = str(tmp_path / "reports.jsonl")
+    sup = str(tmp_path / "support.csv")
+    argv = ["--input", os.path.join(image_dataset, "val"), "--out", out,
+            "--model_size", "test-32", "--batch_size", "8", "--fast",
+            "--labels_from_dirs", "--invert_logits", "--calibrate",
+            "--few_shot", "prototype", "--few_shot_n", "4",
+            "--support_csv", sup]
+    main(argv)
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 16
+    rep = json.loads(lines[0])
+    assert rep["inverted"] is True and 0.0 <= rep["final_prob"] <= 1.0
+    sup_rows = open(sup).read().strip().splitlines()
+    assert sup_rows[0] == "path,label" and len(sup_rows) == 9  # 4/class
+    # second run exercises the load path (support CSV already exists)
+    main(argv)
+
+
+def test_infer_cli_moe_fallback(image_dataset, tmp_path, capsys):
+    """No fusion-head artifact and no --random_fusion → the reference's
+    MoE fallback blend (deepfake-detector-v2/app.py:534) drives p_blend."""
+    from tpudf.cli.infer import main
+    out = str(tmp_path / "reports_moe.jsonl")
+    main(["--input", os.path.join(image_dataset, "val"), "--out", out,
+          "--model_size", "test-32", "--batch_size", "8", "--fast"])
+    assert "MoE fallback" in capsys.readouterr().out
+    rep = json.loads(open(out).read().strip().splitlines()[0])
+    assert 0.0 <= rep["final_prob"] <= 1.0

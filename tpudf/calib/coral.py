@@ -105,6 +105,19 @@ def coral_blend(z_fused, cuts: CoralCutpoints):
     }
 
 
+def moe_fallback_blend(p_sig, p_freq, p_gauss):
+    """Head-less "MoE" probability-space fusion — the blend the reference
+    apps fall back to when the 2→1 fusion head artifact is missing
+    (deepfake-detector-v2/app.py:1380-1390, appv3.py:3278-3287): noisy-OR of
+    the two experts + confidence-weighted expert mixture, with the CORAL
+    gaussian prob capped at a 25% share so it "never dominates"."""
+    p_or = 1.0 - (1.0 - p_sig) * (1.0 - p_freq)
+    alpha = jnp.clip(p_sig * (1.0 - p_freq), 0.05, 0.95)
+    beta = jnp.clip(p_freq * (1.0 - p_sig), 0.05, 0.95)
+    p_moe = (alpha * p_sig + beta * p_freq) / (alpha + beta + 1e-6)
+    return jnp.clip(0.4 * p_or + 0.35 * p_moe + 0.25 * p_gauss, 0.0, 1.0)
+
+
 def fit_coral_cutpoints(fused_logits, quantiles=(0.15, 0.35, 0.55, 0.75)):
     """Quantile-scan fit over calibration-set fused logits (coral.py:300-322).
     Returns cutpoint values in the same space as the input logits."""

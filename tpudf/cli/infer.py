@@ -56,6 +56,34 @@ def parse_args(argv=None):
                    help="minimum token count the ToMe schedule may merge "
                         "down to (0 = S/4 default; the deployed schedule "
                         "uses S/8 — fidelity sweep in ops/tome.py)")
+    p.add_argument("--random_fusion", action="store_true",
+                   help="random-init the 2->1 fusion head when no artifact "
+                        "exists instead of the reference's MoE fallback "
+                        "(smoke/parity testing)")
+    p.add_argument("--invert_logits", action="store_true",
+                   help="flip the label orientation of every reported "
+                        "probability (inference_ai_human_images.py:728 "
+                        "INVERT_LOGITS — training used y=1 for REAL)")
+    p.add_argument("--few_shot", default="none",
+                   choices=["none", "prototype", "linear", "kernel"],
+                   help="few-shot adaptation over frozen SigLIP features "
+                        "(inference_deepfakeface_complete.py:835-1013, "
+                        "inference_ai_human_images.py:436-543); requires "
+                        "labels (CSV label column or --labels_from_dirs)")
+    p.add_argument("--few_shot_n", type=int, default=100,
+                   help="support examples per class (reference "
+                        "FEW_SHOT_N_SHOT=100)")
+    p.add_argument("--support_csv", default=None,
+                   help="support-set CSV (path,label). Loaded if it exists; "
+                        "otherwise the sampled support set is saved there "
+                        "for reproducibility (reference "
+                        "save_support_set/load_support_set :544-555)")
+    p.add_argument("--calibrate", action="store_true",
+                   help="fit isotonic calibration + temperature on a held "
+                        "split of the labeled inputs and report calibrated "
+                        "metrics (inference_deepfakeface_complete.py"
+                        ":383-478)")
+    p.add_argument("--calibration_split", type=float, default=0.2)
     return p.parse_args(argv)
 
 
@@ -111,8 +139,13 @@ def build_engine(args, calib_uint8=None):
     if art and os.path.exists(os.path.join(art, "fusion_head.safetensors")):
         fusion = fusion_linear_from_safetensors(
             os.path.join(art, "fusion_head.safetensors"))
-    else:
+    elif getattr(args, "random_fusion", False):
         fusion = init_fusion_linear(keys[3])
+    else:
+        # reference parity: missing fusion-head artifact → probability-space
+        # MoE fallback blend (deepfake-detector-v2/app.py:534, :1380-1390)
+        print("[fusion] fusion head missing → MoE fallback")
+        fusion = None
     cut_path = art and os.path.join(art, "coral_cutpoints.json")
     if cut_path and os.path.exists(cut_path):
         temp_path = os.path.join(art, "coral_temp.json")
@@ -206,7 +239,10 @@ def main(argv=None):
     else:
         paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
                  for f in sorted(fs) if f.lower().endswith(IMG_EXTS)]
-    labels, probs = [], []
+    labels, probs, lab_paths = [], [], []
+    feats = []               # pooled SigLIP features (few-shot adaptation)
+    want_feats = getattr(args, "few_shot", "none") != "none"
+    invert = getattr(args, "invert_logits", False)
     from tpudf.data.prefetch import prefetch
 
     def decoded_chunks():
@@ -220,26 +256,131 @@ def main(argv=None):
     with open(args.out, "w") as fo:
         for chunk, px in prefetch(decoded_chunks()):
             reports = predict_images(engine, px, fast=args.fast)
+            if want_feats:
+                feats.append(engine.embed_batch(px))
             for p, r in zip(chunk, reports):
+                if invert:
+                    # label-orientation repair: sigmoid(-z) = 1 - sigmoid(z)
+                    # (inference_ai_human_images.py:728 INVERT_LOGITS)
+                    r["final_prob"] = 1.0 - r["final_prob"]
+                    r["inverted"] = True
                 r["path"] = p
                 fo.write(json.dumps(r) + "\n")
+                lab = None
                 if p in csv_labels:
-                    labels.append(csv_labels[p])
-                    probs.append(r["final_prob"])
+                    lab = csv_labels[p]
                 elif args.labels_from_dirs:
                     parent = os.path.basename(os.path.dirname(p)).upper()
                     lab = 1.0 if "FAKE" in parent else 0.0
+                if lab is not None:
                     labels.append(lab)
                     probs.append(r["final_prob"])
+                    lab_paths.append(p)
     print(f"[done] {len(paths)} images → {args.out}")
     if labels:
         from tpudf.eval.metrics import binary_metrics
         from tpudf.eval.stats import bootstrap_ci
+        summary = {}
         m = binary_metrics(labels, probs)
         ci = bootstrap_ci(labels, probs, "auc", n_boot=500)
-        print(json.dumps({"metrics": {k: v for k, v in m.items()
-                                      if not isinstance(v, np.ndarray)},
-                          "auc_ci": ci}, default=float, indent=2))
+        summary["metrics"] = {k: v for k, v in m.items()
+                              if not isinstance(v, np.ndarray)}
+        summary["auc_ci"] = ci
+        if getattr(args, "calibrate", False):
+            summary["calibrated"] = _calibrate_metrics(
+                np.asarray(labels), np.asarray(probs),
+                args.calibration_split, args.seed)
+        if want_feats:
+            path_feat = dict(zip(paths, np.concatenate(feats, axis=0)))
+            summary["few_shot"] = _few_shot_metrics(
+                args, lab_paths, np.asarray(labels),
+                np.stack([path_feat[p] for p in lab_paths]))
+        print(json.dumps(summary, default=float, indent=2))
+
+
+def _calibrate_metrics(labels, probs, split, seed):
+    """Isotonic + temperature calibration on a held split, evaluated on the
+    rest (inference_deepfakeface_complete.py:383-478)."""
+    from tpudf.calib.coral import fit_temperature
+    from tpudf.eval.metrics import binary_metrics
+    from tpudf.eval.stats import (apply_isotonic,
+                                  expected_calibration_error, isotonic_fit)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(labels))
+    n_cal = max(2, int(split * len(labels)))
+    cal, ev = order[:n_cal], order[n_cal:]
+    if len(ev) < 2 or len(set(labels[cal])) < 2:
+        return {"skipped": "too few labeled examples for a split"}
+    x_fit, y_fit = isotonic_fit(probs[cal], labels[cal])
+    iso_probs = apply_isotonic(x_fit, y_fit, probs[ev])
+    z = np.log(np.clip(probs, 1e-6, 1 - 1e-6)
+               / np.clip(1 - probs, 1e-6, 1 - 1e-6))
+    temp = fit_temperature(z[cal], labels[cal])
+    t_probs = 1.0 / (1.0 + np.exp(-z[ev] / temp))
+    out = {"n_calibration": int(n_cal), "fitted_temperature": temp}
+    for name, p in (("raw", probs[ev]), ("isotonic", iso_probs),
+                    ("temperature", t_probs)):
+        mm = binary_metrics(labels[ev], p)
+        out[name] = {"auc": mm["auc"], "f1": mm["f1"],
+                     "brier": float(np.mean((p - labels[ev]) ** 2)),
+                     "ece": expected_calibration_error(labels[ev], p)}
+    return out
+
+
+def _few_shot_metrics(args, lab_paths, labels, feats):
+    """Few-shot adaptation over frozen features with a reproducible support
+    set (inference_deepfakeface_complete.py:835-1013 methods;
+    inference_ai_human_images.py:436-543 support-set CSV save/load)."""
+    import csv as _csv
+
+    import numpy as np
+
+    from tpudf.eval.metrics import binary_metrics
+    from tpudf.serve.adapt import (kernel_probe_predict, linear_probe_predict,
+                                   prototype_classify, train_kernel_probe,
+                                   train_linear_probe)
+    path_idx = {p: i for i, p in enumerate(lab_paths)}
+    sup_csv = getattr(args, "support_csv", None)
+    if sup_csv and os.path.exists(sup_csv):
+        with open(sup_csv) as f:
+            rows = [(r["path"], float(r["label"]))
+                    for r in _csv.DictReader(f)]
+        sup_idx = [path_idx[p] for p, _ in rows if p in path_idx]
+        print(f"[few-shot] loaded support set: {len(sup_idx)} examples")
+    else:
+        rng = np.random.default_rng(getattr(args, "seed", 0))
+        sup_idx = []
+        for c in (0.0, 1.0):
+            cls = np.flatnonzero(labels == c)
+            take = min(args.few_shot_n, len(cls) // 2 or 1)
+            sup_idx.extend(rng.choice(cls, size=take, replace=False))
+        sup_idx = [int(i) for i in sup_idx]
+        if sup_csv:
+            with open(sup_csv, "w", newline="") as f:
+                w = _csv.writer(f)
+                w.writerow(["path", "label"])
+                for i in sup_idx:
+                    w.writerow([lab_paths[i], labels[i]])
+            print(f"[few-shot] support set saved to: {sup_csv}")
+    sup = np.asarray(sorted(set(sup_idx)), int)
+    qry = np.asarray([i for i in range(len(labels)) if i not in set(sup)],
+                     int)
+    if len(qry) < 2 or len(set(labels[sup])) < 2:
+        return {"skipped": "too few examples outside the support set"}
+    f_norm = feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6)
+    if args.few_shot == "prototype":
+        p_fake = np.asarray(prototype_classify(
+            f_norm[sup], labels[sup], f_norm[qry]))[:, 1]
+    elif args.few_shot == "linear":
+        params = train_linear_probe(f_norm[sup], labels[sup])
+        p_fake = np.asarray(linear_probe_predict(params, f_norm[qry]))
+    else:
+        model = train_kernel_probe(f_norm[sup], labels[sup])
+        p_fake = np.asarray(kernel_probe_predict(model, f_norm[qry]))
+    mm = binary_metrics(labels[qry], p_fake)
+    return {"method": args.few_shot, "n_support": int(len(sup)),
+            "n_query": int(len(qry)),
+            "auc": mm["auc"], "f1": mm["f1"], "accuracy": mm["accuracy"]}
 
 
 if __name__ == "__main__":

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpudf.calib.coral import CoralCutpoints, coral_blend
+from tpudf.calib.coral import (CoralCutpoints, coral_blend,
+                               moe_fallback_blend)
 from tpudf.core.precision import DEFAULT_POLICY, Policy
 from tpudf.data.pipeline import (make_multicrops, make_patch_grid,
                                  normalize_siglip, rgb_to_gray, rot90_view)
@@ -266,8 +267,18 @@ def _core_from_views(z_sig_v, z_freq_v, z_rot, weights, fusion, cuts):
     z_sig = _logit(visual_prob)
     p_sig = visual_prob
     p_freq = jax.nn.sigmoid(z_freq / FREQ_TEMP)
-    z_fused = apply_fusion_linear(fusion, p_sig, p_freq)
-    out = coral_blend(z_fused, cuts)
+    if fusion is None:
+        # fusion-head artifact missing → "MoE fallback" parity
+        # (deepfake-detector-v2/app.py:534, :1380-1390). The head-less
+        # reference never defines the CORAL input; we feed it the mean
+        # expert probability's logit (it only carries the capped 25% term).
+        z_fused = _logit(0.5 * (p_sig + p_freq))
+        out = coral_blend(z_fused, cuts)
+        out["p_blend"] = moe_fallback_blend(p_sig, p_freq,
+                                            out["p_fake_coral"])
+    else:
+        z_fused = apply_fusion_linear(fusion, p_sig, p_freq)
+        out = coral_blend(z_fused, cuts)
     out.update({"z_sig": z_sig, "z_freq": z_freq,
                 "visual_prob": p_sig, "freq_prob": p_freq})
     return out
@@ -336,8 +347,12 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
     zp_rot = z_sig[:, 36:52]
     vp = 0.6 * jax.nn.sigmoid(zp) + 0.4 * jax.nn.sigmoid(zp_rot)
     fp = jax.nn.sigmoid(zf_patch / FREQ_TEMP)
-    z_patch = apply_fusion_linear(fusion, vp, fp)
-    patch_probs = coral_blend(z_patch, cuts)["p_blend"]  # (B, 16)
+    if fusion is None:                      # MoE fallback (see _core_from_views)
+        pc = coral_blend(_logit(0.5 * (vp + fp)), cuts)
+        patch_probs = moe_fallback_blend(vp, fp, pc["p_fake_coral"])
+    else:
+        z_patch = apply_fusion_linear(fusion, vp, fp)
+        patch_probs = coral_blend(z_patch, cuts)["p_blend"]  # (B, 16)
 
     return _pack({
         "p_blend": p_blend,
@@ -371,8 +386,14 @@ def _detect_batch_fast(backbone, head, freq, fusion, pixels, *, cfg, policy,
     z_freq = z_freq.reshape(b, 2)
     vprob = 0.6 * jax.nn.sigmoid(z_sig[:, 0]) + 0.4 * jax.nn.sigmoid(z_sig[:, 1])
     p_freq = jax.nn.sigmoid(z_freq[:, 0] / FREQ_TEMP)
-    z_fused = apply_fusion_linear(fusion, vprob, p_freq)
-    out = coral_blend(z_fused, cuts)
+    if fusion is None:                      # MoE fallback (see _core_from_views)
+        z_fused = _logit(0.5 * (vprob + p_freq))
+        out = coral_blend(z_fused, cuts)
+        out["p_blend"] = moe_fallback_blend(vprob, p_freq,
+                                            out["p_fake_coral"])
+    else:
+        z_fused = apply_fusion_linear(fusion, vprob, p_freq)
+        out = coral_blend(z_fused, cuts)
     out.update({"visual_prob": vprob, "freq_prob": p_freq,
                 "z_sig": _logit(vprob), "z_freq": z_freq[:, 0]})
     return _pack(out, FAST_SCALARS)
