@@ -69,12 +69,13 @@ def test_train_binary_cli_deployed_features(image_dataset, tmp_path):
 
 
 def test_infer_cli_few_shot_calibrate_invert(image_dataset, tmp_path):
-    """S12/S13 inference extras: --invert_logits flips final_prob
-    (inference_ai_human_images.py:728), --few_shot samples + saves a
-    reproducible support CSV (:544-555) and reports adapted metrics, and a
-    second run loads the saved support set; --calibrate fits isotonic +
-    temperature on a held split (inference_deepfakeface_complete.py
-    :383-478)."""
+    """S12/S13 inference extras: --invert_logits negates the visual head's
+    output logits so every downstream probability/label carries the
+    corrected orientation (inference_ai_human_images.py:728), --few_shot
+    samples + saves a reproducible support CSV (:544-555) and reports
+    adapted metrics, and a second run loads the saved support set;
+    --calibrate fits isotonic + temperature on a held split
+    (inference_deepfakeface_complete.py:383-478)."""
     from tpudf.cli.infer import main
     out = str(tmp_path / "reports.jsonl")
     sup = str(tmp_path / "support.csv")
@@ -92,6 +93,16 @@ def test_infer_cli_few_shot_calibrate_invert(image_dataset, tmp_path):
     assert sup_rows[0] == "path,label" and len(sup_rows) == 9  # 4/class
     # second run exercises the load path (support CSV already exists)
     main(argv)
+    # orientation check: vs a plain run, the inverted head's visual_prob is
+    # exactly 1 - p (sigmoid(-z)) and the label/prob pair stays consistent
+    out2 = str(tmp_path / "plain.jsonl")
+    main(["--input", os.path.join(image_dataset, "val"), "--out", out2,
+          "--model_size", "test-32", "--batch_size", "8", "--fast"])
+    plain = [json.loads(x) for x in open(out2).read().strip().splitlines()]
+    inv = [json.loads(x) for x in lines]
+    for a, b in zip(inv, plain):
+        assert abs(a["visual_head"] - (1.0 - b["visual_head"])) < 1e-4
+        assert "inverted" not in b
 
 
 def test_infer_cli_moe_fallback(image_dataset, tmp_path, capsys):

@@ -69,6 +69,36 @@ def test_pad_to_bucket():
     for b in (1, 2, 4, 8):                            # pow2 stays put
         assert pad_to_bucket(px[:b]).shape[0] == b
     assert pad_to_bucket(px[:3], max_batch=2).shape[0] == 3   # cap respected
+    # non-pow2 serving cap: a full drain pads to exactly max_batch (the
+    # graph warmup() compiles), never past it
+    px6 = rng.integers(0, 256, (5, 32, 32, 3), np.uint8)
+    assert pad_to_bucket(px6, max_batch=6).shape[0] == 6
+    assert pad_to_bucket(px6[:3], max_batch=6).shape[0] == 4
+
+
+def test_warmup_covers_nonpow2_cap():
+    """DetectService.warmup compiles the exact max_batch bucket the worker
+    pads full drains to (dispatch_images max_batch cap)."""
+    sizes = []
+
+    class _FakeCfg:
+        image_size = 32
+
+    class _FakeEngine:
+        cfg = _FakeCfg()
+
+    svc = DetectService.__new__(DetectService)   # no worker thread
+    svc.engine = _FakeEngine()
+    svc.max_batch = 6
+    import tpudf.serve.report as report_mod
+    orig = report_mod.predict_images
+    report_mod.predict_images = lambda eng, px, fast=False: sizes.append(
+        px.shape[0])
+    try:
+        svc.warmup()
+    finally:
+        report_mod.predict_images = orig
+    assert sizes == [1, 2, 4, 6]
 
 
 def test_padded_dispatch_matches_unpadded(service):

@@ -61,9 +61,12 @@ def parse_args(argv=None):
                         "exists instead of the reference's MoE fallback "
                         "(smoke/parity testing)")
     p.add_argument("--invert_logits", action="store_true",
-                   help="flip the label orientation of every reported "
-                        "probability (inference_ai_human_images.py:728 "
-                        "INVERT_LOGITS — training used y=1 for REAL)")
+                   help="negate the visual head's output logits before any "
+                        "fusion/decision math, repairing a head trained "
+                        "with y=1 for REAL (inference_ai_human_images.py"
+                        ":728 INVERT_LOGITS) — every downstream "
+                        "probability, label and verdict then carries the "
+                        "corrected orientation")
     p.add_argument("--few_shot", default="none",
                    choices=["none", "prototype", "linear", "kernel"],
                    help="few-shot adaptation over frozen SigLIP features "
@@ -129,6 +132,13 @@ def build_engine(args, calib_uint8=None):
         head = restored["ema"] if restored.get("ema") is not None \
             else restored["params"]
         print(f"[head] restored {args.head_ckpt}")
+    if getattr(args, "invert_logits", False):
+        # negate the head's output layer: sigmoid(-z) = 1 - sigmoid(z), so
+        # the whole expert stack (fusion, cascade, verdict, report) sees the
+        # corrected orientation (inference_ai_human_images.py:728)
+        head = dict(head) | {"fc3": {"w": -head["fc3"]["w"],
+                                     "b": -head["fc3"]["b"]}}
+        print("[head] logits inverted (y=1-was-REAL repair)")
 
     art = args.artifacts
     if art and os.path.exists(os.path.join(art, "freq_mlp.safetensors")):
@@ -240,10 +250,24 @@ def main(argv=None):
         paths = [os.path.join(dp, f) for dp, _, fs in os.walk(args.input)
                  for f in sorted(fs) if f.lower().endswith(IMG_EXTS)]
     labels, probs, lab_paths = [], [], []
-    feats = []               # pooled SigLIP features (few-shot adaptation)
-    want_feats = getattr(args, "few_shot", "none") != "none"
-    invert = getattr(args, "invert_logits", False)
+    feats = []       # pooled SigLIP features of LABELED images (few-shot)
+    have_labels = bool(csv_labels) or args.labels_from_dirs
+    # few-shot adaptation needs labels; without any, skip the extra
+    # embedding forward instead of embedding a corpus it can never use
+    want_feats = getattr(args, "few_shot", "none") != "none" and have_labels
+    if getattr(args, "few_shot", "none") != "none" and not want_feats:
+        print("[few-shot] skipped: no labels (need a CSV label column or "
+              "--labels_from_dirs)")
+    inverted = getattr(args, "invert_logits", False)
     from tpudf.data.prefetch import prefetch
+
+    def _label_of(p):
+        if p in csv_labels:
+            return csv_labels[p]
+        if args.labels_from_dirs:
+            parent = os.path.basename(os.path.dirname(p)).upper()
+            return 1.0 if "FAKE" in parent else 0.0
+        return None
 
     def decoded_chunks():
         import concurrent.futures as cf
@@ -256,22 +280,18 @@ def main(argv=None):
     with open(args.out, "w") as fo:
         for chunk, px in prefetch(decoded_chunks()):
             reports = predict_images(engine, px, fast=args.fast)
-            if want_feats:
-                feats.append(engine.embed_batch(px))
+            lab_mask = [_label_of(p) is not None for p in chunk]
+            if want_feats and any(lab_mask):
+                # embed only the labeled rows — unlabeled features are
+                # never consumed by _few_shot_metrics
+                emb = engine.embed_batch(px[np.asarray(lab_mask)])
+                feats.append(np.asarray(emb))
             for p, r in zip(chunk, reports):
-                if invert:
-                    # label-orientation repair: sigmoid(-z) = 1 - sigmoid(z)
-                    # (inference_ai_human_images.py:728 INVERT_LOGITS)
-                    r["final_prob"] = 1.0 - r["final_prob"]
-                    r["inverted"] = True
+                if inverted:
+                    r["inverted"] = True   # orientation fixed at the head
                 r["path"] = p
                 fo.write(json.dumps(r) + "\n")
-                lab = None
-                if p in csv_labels:
-                    lab = csv_labels[p]
-                elif args.labels_from_dirs:
-                    parent = os.path.basename(os.path.dirname(p)).upper()
-                    lab = 1.0 if "FAKE" in parent else 0.0
+                lab = _label_of(p)
                 if lab is not None:
                     labels.append(lab)
                     probs.append(r["final_prob"])
@@ -290,11 +310,12 @@ def main(argv=None):
             summary["calibrated"] = _calibrate_metrics(
                 np.asarray(labels), np.asarray(probs),
                 args.calibration_split, args.seed)
-        if want_feats:
-            path_feat = dict(zip(paths, np.concatenate(feats, axis=0)))
+        if want_feats and feats:
+            # feats rows were collected labeled-row-by-labeled-row in the
+            # same order as lab_paths
             summary["few_shot"] = _few_shot_metrics(
                 args, lab_paths, np.asarray(labels),
-                np.stack([path_feat[p] for p in lab_paths]))
+                np.concatenate(feats, axis=0))
         print(json.dumps(summary, default=float, indent=2))
 
 
@@ -352,6 +373,9 @@ def _few_shot_metrics(args, lab_paths, labels, feats):
         sup_idx = []
         for c in (0.0, 1.0):
             cls = np.flatnonzero(labels == c)
+            if len(cls) == 0:
+                return {"skipped": f"no examples of class {int(c)} to "
+                                   "sample a support set from"}
             take = min(args.few_shot_n, len(cls) // 2 or 1)
             sup_idx.extend(rng.choice(cls, size=take, replace=False))
         sup_idx = [int(i) for i in sup_idx]
@@ -362,8 +386,9 @@ def _few_shot_metrics(args, lab_paths, labels, feats):
                 for i in sup_idx:
                     w.writerow([lab_paths[i], labels[i]])
             print(f"[few-shot] support set saved to: {sup_csv}")
-    sup = np.asarray(sorted(set(sup_idx)), int)
-    qry = np.asarray([i for i in range(len(labels)) if i not in set(sup)],
+    sup_set = set(sup_idx)
+    sup = np.asarray(sorted(sup_set), int)
+    qry = np.asarray([i for i in range(len(labels)) if i not in sup_set],
                      int)
     if len(qry) < 2 or len(set(labels[sup])) < 2:
         return {"skipped": "too few examples outside the support set"}

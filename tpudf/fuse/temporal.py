@@ -305,22 +305,6 @@ def render_scores_graph(pixels_uint8):
     return jnp.clip(0.55 * exposure + 0.45 * blur, 0.0, 1.0)
 
 
-@functools.lru_cache(maxsize=4)
-def _jitted_render_scores():
-    return jax.jit(render_scores_graph)
-
-
-def rendering_pipeline_scores(images_uint8):
-    """Batched image-path rendering score: the reference feeds
-    [image, h-flip] as the frame pair per image (appv3.py:5128-5195);
-    this runs the whole batch as ONE jitted device call instead of a
-    per-image loop (each per-image call pays a full host<->device round
-    trip, which dominates serving latency). (B, H, W, 3) uint8 → (B,)."""
-    px = jnp.asarray(np.asarray(images_uint8))
-    return np.asarray(jax.device_get(_jitted_render_scores()(px)),
-                      np.float64)
-
-
 def host_flow_signals(frames_uint8):
     """Optical-flow-family signals via host cv2 (Farneback forward/backward,
     flow direction coherence, KLT track instability, RANSAC affine

@@ -200,7 +200,11 @@ def _build_fusion_tail(engine: DetectEngine, fast: bool):
             "patch": patch_mean,
         })
         # hierarchical bayesian final probability (appv3.py:4956-5103);
-        # the FAKE/REAL label threshold stays host-side (DecisionConfig)
+        # the FAKE/REAL label threshold stays host-side (DecisionConfig).
+        # NOTE: like the reference's final_decision, final_probability
+        # accepts fusion_prob but derives its L1 core from
+        # visual/freq/coral only — the booster override (p_blend_eff)
+        # affects the label cascade via p_blend (predict_images), not hb
         hb = final_probability(
             visual, freq, p_blend_eff, cs["p_fake_coral"], forensic_score,
             fb["diffusion"], max_patch, patch_mean, head_delta,
@@ -248,7 +252,8 @@ def _fusion_tail_for(engine: DetectEngine, fast: bool):
 
 
 def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
-                    fast: bool = False, pad_batch: bool = False):
+                    fast: bool = False, pad_batch: bool = False,
+                    max_batch: int | None = None):
     """Phase 1 of predict_images: launch the device work and return the
     un-fetched result futures. JAX dispatch is asynchronous, so the caller
     can do host work (decode/drain the next batch) while the chip runs,
@@ -257,10 +262,12 @@ def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     round-trip behind the next batch's queueing.
 
     pad_batch=True pads the device batch to a power-of-2 bucket
-    (pad_to_bucket) — predict_images slices every per-image array back to
-    the true batch size, so callers see only their own images."""
+    (pad_to_bucket, capped at max_batch so a padded batch never exceeds
+    what the caller's warmup compiled) — predict_images slices every
+    per-image array back to the true batch size, so callers see only
+    their own images."""
     if pad_batch:
-        pixels_uint8 = pad_to_bucket(np.asarray(pixels_uint8))
+        pixels_uint8 = pad_to_bucket(np.asarray(pixels_uint8), max_batch)
     core = engine.dispatch_batch(pixels_uint8, fast=fast)   # un-fetched
     fn, names = _fusion_tail_for(engine, fast)
     packed, aux = fn(core, jnp.asarray(pixels_uint8))

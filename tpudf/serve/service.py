@@ -65,12 +65,19 @@ class DetectService:
         from tpudf.serve.report import predict_images
         cap = max_bucket or self.max_batch
         s = self.engine.cfg.image_size
+        sizes = []
         size = 1
         while size <= cap:
+            sizes.append(size)
+            size *= 2
+        if cap not in sizes:
+            # non-pow2 max_batch: _run pads a full drain to exactly cap
+            # (pad_to_bucket's max_batch clamp), so compile that graph too
+            sizes.append(cap)
+        for size in sizes:
             rng = np.random.default_rng(size)
             px = rng.integers(0, 256, (size, s, s, 3), dtype=np.uint8)
             predict_images(self.engine, px, fast=fast)
-            size *= 2
 
     # ------------------------------------------------------------ worker
 
@@ -132,10 +139,12 @@ class DetectService:
                     continue
                 try:
                     batch = np.stack([np.asarray(p.pixels) for p in group])
-                    # pow2 bucket padding: at most log2(max_batch)+1 device
+                    # pow2 bucket padding (capped at max_batch — the graphs
+                    # warmup compiled): at most log2(max_batch)+2 device
                     # graphs per mode, instead of one per drained count
                     futures = dispatch_images(self.engine, batch, fast=fast,
-                                              pad_batch=True)
+                                              pad_batch=True,
+                                              max_batch=self.max_batch)
                     inflight.append((group, batch, fast, futures))
                 except Exception as e:          # pragma: no cover
                     for p in group:
