@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpudf.fuse.bayesian import bayesian_fuse_v2, dirichlet_fuse
 from tpudf.fuse.decision import (classify_rbr, classify_three_way,
@@ -145,3 +146,45 @@ def test_benign_jpeg_penalty_softens():
                            "saturation_peak_score": 0.9})
     assert soft.prob_fake < base.prob_fake
     assert soft.certainty < base.certainty
+
+
+def test_bayes_fuse_handles_leading_none_cue():
+    """A None first value must not poison the batch-shape derivation —
+    None is a valid 'missing cue' that v2 fills with 0.5."""
+    import jax.numpy as jnp
+    from tpudf.fuse.bayesian import bayesian_fuse_v2, dirichlet_fuse
+    out = bayesian_fuse_v2({"visual": None, "freq": jnp.array([0.5, 0.9])})
+    assert out["posterior_fake"].shape == (2,)
+    # calibrated per-cue probs are returned (verdict consumes 'jpeg')
+    assert float(out["calibrated"]["visual"][0]) == pytest.approx(0.5)
+    d = dirichlet_fuse({"visual": None, "freq": jnp.array([0.5, 0.9])})
+    assert np.all(np.isfinite(np.asarray(d["posterior_fake"])))
+
+
+def test_dirichlet_skips_missing_cues_like_reference():
+    """Absent cues contribute no pseudo-counts (appv3.py:1069-1071), so
+    uncertainty is higher with fewer cues; an all-missing dict returns the
+    neutral Dirichlet(1,1) instead of NaN."""
+    import jax.numpy as jnp
+    from tpudf.fuse.bayesian import dirichlet_fuse
+    full = dirichlet_fuse({"visual": jnp.array([0.8]),
+                           "freq": jnp.array([0.8]),
+                           "forensic": jnp.array([0.8])})
+    one = dirichlet_fuse({"visual": jnp.array([0.8])})
+    assert float(one["uncertainty"][0]) > float(full["uncertainty"][0])
+    empty = dirichlet_fuse({"visual": None})
+    assert float(np.asarray(empty["posterior_fake"])) == pytest.approx(0.5)
+    assert np.isfinite(float(np.asarray(empty["uncertainty"])))
+
+
+def test_risk_idx_zero_not_coerced():
+    """risk_idx 0 (lowest risk) must not be coerced to 2 by a falsy-zero
+    `or` default: is_inconclusive requires risk in (1, 2)."""
+    from tpudf.fuse.decision import full_label_cascade
+    base = {"p_final": 0.5, "p_global": 0.5, "patch_mean": 0.4,
+            "entropy": 1.5, "head_delta": 0.2}
+    risky = full_label_cascade(dict(base, risk_idx=1))
+    lowrisk = full_label_cascade(dict(base, risk_idx=0))
+    assert risky["label"] == "INCONCLUSIVE"
+    assert lowrisk["label"] != "INCONCLUSIVE"
+    assert "inconclusive" not in lowrisk["trace"]

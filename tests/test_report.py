@@ -41,6 +41,22 @@ def test_predict_images_report_fields(engine):
     assert sum(k.startswith("forensic_") for k in r) >= 30
 
 
+def test_report_emits_calibrated_jpeg_for_verdict(engine):
+    """The verdict's benign-JPEG penalty reads report['jpeg'] — the
+    (possibly isotonic-recalibrated) jpeg cue the reference copies from
+    fusion_calibrated into its decision payload (appv3.py:5936-5937,
+    consumed at :4412). Without it, benign recompression can never reach
+    the 0.80 penalty gate."""
+    import numpy as np
+    px = np.random.default_rng(7).integers(0, 256, (2, 32, 32, 3), np.uint8)
+    reps = predict_images(engine, px, fast=True)
+    for r in reps:
+        assert "jpeg" in r and 0.0 <= r["jpeg"] <= 1.0
+        # uncalibrated engine: the cue is the clipped q-mismatch score
+        assert r["jpeg"] == pytest.approx(
+            min(max(r["jpeg_q_mismatch_score"], 1e-6), 1 - 1e-6), abs=1e-5)
+
+
 def test_predict_video(engine):
     frames = np.random.default_rng(1).integers(0, 256, (5, 32, 32, 3),
                                                np.uint8)

@@ -104,7 +104,8 @@ def jpeg_simulate(x, quality: int):
     inverse DCT. The device analogue of the reference UltraJPEGTransform
     (cifake_binary_classifier.py:86-110, q5-25 recompression)."""
     scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
-    q = jnp.clip(jnp.floor((JPEG_LUMA_Q * scale + 50.0) / 100.0), 1, 255)
+    q = jnp.clip(jnp.floor((jnp.asarray(JPEG_LUMA_Q) * scale + 50.0)
+                           / 100.0), 1, 255)
     h, w = x.shape[1], x.shape[2]
     q_full = jnp.tile(q, (h // 8, w // 8))[None, :, :, None]   # block layout
     y = x * 255.0 - 128.0

@@ -8,8 +8,11 @@ JAX re-implementations of the reference fusers (appv3.py:932-1094), batched:
     aleatoric uncertainty + conflict; the uncertainty guard feeds the
     INCONCLUSIVE label (appv3.py:5654-5659)
 
-Both take a dict of (B,)-shaped cue probabilities; missing cues default to
-the neutral 0.5 (same semantics as the reference's fill-in).
+Both take a dict of (B,)-shaped cue probabilities. Missing-cue semantics
+mirror the reference exactly: bayesian_fuse_v2 fills missing/non-finite
+cues with the neutral 0.5 (appv3.py:995-999), while dirichlet_fuse SKIPS
+absent cues entirely so they contribute no pseudo-counts
+(appv3.py:1069-1071) — the two fusers intentionally differ.
 
 Calibration hooks (appv3.py:948-975): `fit_bayes_calibration` fits either
 per-feature isotonic maps (applied inside bayesian_fuse_v2 before the
@@ -40,6 +43,15 @@ DIRICHLET_WEIGHTS = {
 }
 
 _EPS = 1e-6
+
+
+def _batch_shape(features):
+    """Batch shape from the first present cue (a leading None value must
+    not poison the shape derivation — None is a valid 'missing cue')."""
+    for v in features.values():
+        if v is not None:
+            return jnp.shape(jnp.asarray(v))
+    return ()
 
 
 def _gather(features, batch_shape):
@@ -122,8 +134,7 @@ def fit_bayes_calibration(features: dict, labels, mode="isotonic",
 def bayesian_fuse_v2(features: dict, prior_fake=0.5,
                      calibration: BayesCalibration | None = None):
     """features: dict of (B,) probabilities → dict of (B,) outputs."""
-    some = next(iter(features.values()))
-    p = jnp.clip(_gather(features, jnp.shape(some)), _EPS, 1 - _EPS)
+    p = jnp.clip(_gather(features, _batch_shape(features)), _EPS, 1 - _EPS)
     if calibration is not None and calibration.iso:
         cols = []
         for i, name in enumerate(FEATURES):
@@ -158,6 +169,11 @@ def bayesian_fuse_v2(features: dict, prior_fake=0.5,
         "log_odds": log_post,
         "mean_prob": mean_p,
         "std_prob": std_p,
+        # per-cue (clipped, possibly isotonic-recalibrated) probabilities —
+        # the reference returns these as `calibrated` and the verdict's
+        # benign-JPEG penalty consumes the jpeg entry (appv3.py:1033,
+        # 5936-5937, 4412)
+        "calibrated": {name: p[..., i] for i, name in enumerate(FEATURES)},
     }
     if calibration is not None and calibration.logistic is not None:
         lw, lb = calibration.logistic
@@ -167,17 +183,25 @@ def bayesian_fuse_v2(features: dict, prior_fake=0.5,
 
 
 def dirichlet_fuse(features: dict, base_strength=3.0):
-    some = next(iter(features.values()))
-    batch_shape = jnp.shape(some)
+    """Absent/None cues are SKIPPED (no pseudo-counts), matching the
+    reference's `if k not in features: continue` (appv3.py:1069-1071).
+    An all-missing dict returns the neutral Dirichlet(1,1) posterior
+    instead of the reference's 0/0 NaN (safety guard; that path is
+    unreachable in the reference's own serving code)."""
+    batch_shape = _batch_shape(features)
     alpha_real = jnp.zeros(batch_shape)
     alpha_fake = jnp.zeros(batch_shape)
+    present = 0
     for k, w in DIRICHLET_WEIGHTS.items():
         if k not in features or features[k] is None:
             continue
+        present += 1
         p = jnp.clip(jnp.asarray(features[k], jnp.float32), _EPS, 1 - _EPS)
         p = jnp.where(jnp.isfinite(p), p, 0.5)
         alpha_fake = alpha_fake + w * p * base_strength + 1.0
         alpha_real = alpha_real + w * (1 - p) * base_strength + 1.0
+    if present == 0:
+        alpha_real = alpha_fake = jnp.ones(batch_shape)
 
     s = alpha_real + alpha_fake
     mean_fake = alpha_fake / s

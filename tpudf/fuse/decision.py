@@ -74,6 +74,10 @@ def stabilized_fusion(raw, coral, v, f, max_patch, patch_mean):
 
 
 def band_and_risk(label, p_final, forensic_score):
+    # parity note (appv3.py:4316-4326): the reference has only FAKE vs
+    # everything-else branches, so TAMPERED/INCONCLUSIVE labels carry
+    # real-side GREEN/YELLOW bands and the ORANGE color is only reachable
+    # through the verdict-v2 choose_band path — reproduced as-is
     if label == "FAKE":
         if forensic_score >= 0.75 or p_final >= 0.65:
             return "RED", "HIGH_FAKE"
@@ -232,16 +236,20 @@ def full_label_cascade(s: dict, cfg: DecisionConfig = DEFAULT_DECISION):
     else:
         label = "TAMPERED"
 
-    # uncertain / inconclusive (:5668-5695)
+    # uncertain / inconclusive (:5668-5695). risk_idx 0 is a legitimate
+    # lowest-risk value — `or 2` would coerce it to 2 and wrongly open the
+    # INCONCLUSIVE gate (is_inconclusive requires risk in (1, 2))
+    _risk = g("risk_idx", 2)
+    risk_idx = 2 if _risk is None else int(_risk)
     if is_inconclusive(p_final, _clamp(g("p_global", p_final)),
                        _clamp(g("patch_mean", 0.5)),
-                       int(g("risk_idx", 2) or 2),
+                       risk_idx,
                        float(g("entropy", 0.0) or 0.0),
                        float(g("head_delta", 0.0) or 0.0)) \
             and not cfg.disable_inconclusive:
         label = "INCONCLUSIVE"
         trace.append("inconclusive")
-    elif is_uncertain(p_final, int(g("risk_idx", 2) or 2),
+    elif is_uncertain(p_final, risk_idx,
                       _clamp(g("patch_mean", 0.5)),
                       float(g("head_delta", 0.0) or 0.0)) \
             and not cfg.disable_inconclusive:
@@ -297,7 +305,12 @@ def full_label_cascade(s: dict, cfg: DecisionConfig = DEFAULT_DECISION):
         label = "TAMPERED"
         trace.append("render")
 
-    # three-way classifier override (:5803-5820)
+    # three-way classifier override (:5803-5820). Parity note: like the
+    # reference, this overwrite is unconditional on the label value, so
+    # the improvement rules above shape only the trace (the reference
+    # keeps their label writes solely for its classify_three_way
+    # exception fallback); the rules' signals re-enter through
+    # classify_three_way's own conditions and the gates below
     if label not in ("INCONCLUSIVE", "UNCERTAIN"):
         label = classify_three_way(
             p_final, g("real_prior_v3"), forensic, g("cfa_fake"),
@@ -337,7 +350,9 @@ def full_label_cascade(s: dict, cfg: DecisionConfig = DEFAULT_DECISION):
         override_label = label
         trace.append("model_escalation")
     votes = tamper_votes(forensic, g("jpeg_q"), g("hc"))
-    real_ok = real_pass(g("cfa_fake"), g("prnu_scaled"), g("real_prior_v3"))
+    # (the reference's separate `TAMPERED and real_pass(...) and votes<2`
+    # demotion, appv3.py:5869-5872, is subsumed by the votes<2 rule below,
+    # which demotes regardless of real_pass)
     if label == "TAMPERED" and votes >= 2 and forensic > 0.70 \
             and (vp > 0.65 or fp > 0.65):
         label = "FAKE"
@@ -352,7 +367,12 @@ def full_label_cascade(s: dict, cfg: DecisionConfig = DEFAULT_DECISION):
     if label == "REAL" and votes < 2 and override_label is None:
         override_label = "REAL"
 
-    # final consistency pass (:5890-5911)
+    # final consistency pass (:5890-5911). Parity note: when an
+    # override_label is set (face/model/vote escalations and demotions),
+    # finalize skips the p_fake↔label consistency check exactly like the
+    # reference (appv3.py:4631-4648) — the policy trusts its vote-based
+    # overrides over the fused probability, so e.g. a quiet-forensics
+    # high-p_final image demoted by tamper_votes_low ships as REAL
     label, code, band_text, band_color, band, risk = finalize_label_and_risk(
         label, p_final, forensic, allow_real=gate_ok,
         override_label=override_label, cfg=cfg)

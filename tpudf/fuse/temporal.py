@@ -319,6 +319,12 @@ def host_flow_signals(frames_uint8):
     grays = [cv2.cvtColor(np.asarray(f), cv2.COLOR_RGB2GRAY)
              for f in frames_uint8]
     fb_err, dir_inc, klt, affine = [], [], [], []
+    reproj, par = [], []
+    hgt, wid = grays[0].shape
+    gy, gx = np.mgrid[0:hgt, 0:wid].astype(np.float32)
+    # ONE forward Farneback solve per frame pair feeds the fb/direction,
+    # reprojection AND parallax families (the solve dominates this host
+    # battery's runtime — recomputing it per family tripled it)
     for i in range(t - 1):
         a, b = grays[i], grays[i + 1]
         fwd = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 3, 15, 3, 5,
@@ -333,6 +339,24 @@ def host_flow_signals(frames_uint8):
         if sel.mean() > 0.01:
             dir_inc.append(float(np.std(np.sin(ang[sel])) +
                                  np.std(np.cos(ang[sel]))) / 2.0)
+
+        # flow reprojection error: warp frame t by its flow, compare to
+        # t+1 (appv3.py flow_reprojection_error family). Backward warp:
+        # content at x in `b` came from x - flow(x) in `a` (cv2 flow is
+        # motion convention: a(x) appears at x + flow in b)
+        warped = cv2.remap(a, gx - fwd[..., 0], gy - fwd[..., 1],
+                           cv2.INTER_LINEAR)
+        reproj.append(float(np.mean(np.abs(
+            warped.astype(np.float32) - b.astype(np.float32)))))
+
+        # parallax inconsistency: flow-magnitude roughness across depth
+        # layers — pure camera motion gives smooth magnitude fields
+        # (appv3.py:2651 family)
+        if mag.mean() > 0.2:
+            local_std = cv2.blur((mag - cv2.blur(mag, (15, 15))) ** 2,
+                                 (15, 15)) ** 0.5
+            par.append(float(np.mean(local_std) / (mag.mean() + 1e-6)))
+
         pts = cv2.goodFeaturesToTrack(a, 200, 0.01, 8)
         if pts is not None and len(pts) >= 8:
             nxt, st, _ = cv2.calcOpticalFlowPyrLK(a, b, pts, None)
@@ -355,36 +379,9 @@ def host_flow_signals(frames_uint8):
         out["affine_inconsistency"] = float(np.clip(np.mean(affine) / 0.6,
                                                     0, 1))
 
-    # flow reprojection error: warp frame t by its flow and compare to t+1
-    # (appv3.py flow_reprojection_error family)
-    reproj = []
-    hgt, wid = grays[0].shape
-    gy, gx = np.mgrid[0:hgt, 0:wid].astype(np.float32)
-    for i in range(t - 1):
-        a, b = grays[i], grays[i + 1]
-        fwd = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 3, 15, 3, 5,
-                                           1.2, 0)
-        # backward warp: content at x in `b` came from x - flow(x) in `a`
-        # (cv2 flow is motion convention: a(x) appears at x + flow in b)
-        warped = cv2.remap(a, gx - fwd[..., 0], gy - fwd[..., 1],
-                           cv2.INTER_LINEAR)
-        reproj.append(float(np.mean(np.abs(
-            warped.astype(np.float32) - b.astype(np.float32)))))
     if reproj:
         out["flow_reprojection"] = float(np.clip(np.mean(reproj) / 20.0,
                                                  0, 1))
-
-    # parallax inconsistency: flow-magnitude variance across depth layers —
-    # pure camera motion gives smooth magnitude fields (appv3.py:2651 family)
-    par = []
-    for i in range(t - 1):
-        fwd = cv2.calcOpticalFlowFarneback(grays[i], grays[i + 1], None,
-                                           0.5, 3, 15, 3, 5, 1.2, 0)
-        mag = np.linalg.norm(fwd, axis=-1)
-        if mag.mean() > 0.2:
-            local_std = cv2.blur((mag - cv2.blur(mag, (15, 15))) ** 2,
-                                 (15, 15)) ** 0.5
-            par.append(float(np.mean(local_std) / (mag.mean() + 1e-6)))
     if par:
         out["parallax_err"] = float(np.clip(np.mean(par) / 1.5, 0, 1))
 

@@ -13,8 +13,10 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-# standard JPEG luminance quantization table (Annex K)
-JPEG_LUMA_Q = jnp.asarray(np.array([
+# standard JPEG luminance quantization table (Annex K) — kept as numpy so
+# importing this module never initializes a JAX backend; jnp converts it
+# per-trace at the use site (data/augment.py)
+JPEG_LUMA_Q = (np.array([
     [16, 11, 10, 16, 24, 40, 51, 61],
     [12, 12, 14, 19, 26, 58, 60, 55],
     [14, 13, 16, 24, 40, 57, 69, 56],

@@ -49,6 +49,15 @@ def _box_filter(x, k: int):
                                  (1, win, win), (1, 1, 1), "SAME")
 
 
+def _box_mean(x, k: int):
+    """Box MEAN with the true per-pixel window count (SAME zero padding
+    shrinks the window at borders; dividing the sum by the fixed (2k+1)^2
+    area would attenuate border values by up to 4x and bias every
+    border-inclusive aggregate on moving clips)."""
+    cnt = _box_filter(jnp.ones_like(x), k)
+    return _box_filter(x, k) / cnt
+
+
 def _scharr(x):
     """(T, H, W) → (gx, gy) Scharr gradients (units: intensity/px)."""
     kx = jnp.asarray([[-3., 0., 3.], [-10., 0., 10.], [-3., 0., 3.]]) / 32.0
@@ -115,8 +124,8 @@ def _lk_refine(a, b, u, v, k: int, iters: int, eps=1e-4):
         # clamp per-iteration update for stability at strong warps
         u = u + jnp.clip(du, -4.0, 4.0)
         v = v + jnp.clip(dv, -4.0, 4.0)
-        u = _box_filter(u, 2) / 25.0
-        v = _box_filter(v, 2) / 25.0
+        u = _box_mean(u, 2)
+        v = _box_mean(v, 2)
     return u, v
 
 
@@ -219,8 +228,8 @@ def flow_signals(gray, *, levels: int = 4):
     reproj = jnp.mean(jnp.abs(warped - b))
 
     # parallax: local flow-magnitude roughness / global magnitude
-    local_mu = _box_filter(mag, 7) / (15.0 ** 2)
-    local_var = _box_filter((mag - local_mu) ** 2, 7) / (15.0 ** 2)
+    local_mu = _box_mean(mag, 7)
+    local_var = _box_mean((mag - local_mu) ** 2, 7)
     mag_mean = jnp.mean(mag)
     par = jnp.where(mag_mean > 0.2,
                     jnp.mean(jnp.sqrt(jnp.maximum(local_var, 0.0)))

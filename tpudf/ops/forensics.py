@@ -153,15 +153,20 @@ def prnu_fft_consistency(noise):
 
 
 def prnu_acorr(gray):
-    """PRNU self-consistency proxy (appv3.py:2083-2095 used NlMeans +
-    matchTemplate; here: gaussian residual + mean normalized autocorrelation
-    via FFT), mapped through the same (x-0.95)*20 squash."""
+    """PRNU autocorrelation peak through the (x-0.95)*20 squash
+    (appv3.py:2081-2095). The reference runs cv2.matchTemplate(noise,
+    noise, TM_CCORR_NORMED) with template == image, which yields the 1x1
+    ZERO-LAG normalized autocorrelation <n,n>/(||n||·||n||) — exactly 1.0
+    for any nonzero residual — so the cue's observable is 1.0 on every
+    non-degenerate image (and its 0.18 weight in real_image_prior_v3 is a
+    constant real tilt). Computing that same expression here keeps the
+    cascade's real-prior distribution aligned with the reference; a
+    zero-residual (flat) image degenerates to 0 like the reference's
+    exception path."""
     noise = gray * 255.0 - gaussian_blur(gray * 255.0, 1.5)
-    f = jnp.fft.fft2(noise.astype(jnp.complex64))
-    ac = jnp.fft.ifft2(f * jnp.conj(f)).real
-    ac = ac / (ac[:, :1, :1] + _EPS)
-    peak = jnp.mean(jnp.abs(ac), axis=(1, 2))
-    return jnp.clip((peak - 0.05) * 2.0, 0.0, 1.0)
+    energy = jnp.sum(noise * noise, axis=(1, 2))
+    ac_peak = energy / (jnp.sqrt(energy) * jnp.sqrt(energy) + _EPS)
+    return jnp.clip((ac_peak - 0.95) * 20.0, 0.0, 1.0)
 
 
 def prnu_temporal_incoherence(frames_gray):
@@ -220,13 +225,8 @@ def jpeg_residual_dct(gray):
     co = dct2_8x8(y)
     b, h, w = co.shape
     bl = co.reshape(b, h // 8, 8, w // 8, 8)
-    ac = jnp.abs(bl)
-    ac_sum = ac.sum((2, 4)) - jnp.abs(bl[:, :, 0, :, 0])
-    mean_ac = jnp.sum(ac_sum, (1, 2)) / (
-        (h // 8) * (w // 8) * 63.0)
-    # reference averages |d[1:,1:]| (49 entries) — adjust normalization
-    ac_img = ac[:, :, 1:, :, 1:]
-    mean_ac = jnp.mean(ac_img, axis=(1, 2, 3, 4))
+    # reference averages |d[1:,1:]| per block (49 entries, not all 63 AC)
+    mean_ac = jnp.mean(jnp.abs(bl[:, :, 1:, :, 1:]), axis=(1, 2, 3, 4))
     return jnp.clip(mean_ac / 40.0, 0.0, 1.0)
 
 
@@ -265,10 +265,11 @@ def highlight_clipping_realness(gray):
     return jnp.minimum(bright / 0.05, 1.0)
 
 
-def crop_consistency_score(img, rng=None):
+def crop_consistency_score(img):
     """Crop-variance stability, higher → more real (appv3.py:1973-1990).
-    Deterministic variant: a fixed 3x3 grid of third-size crops instead of 8
-    random ones (randomness added via rng if provided)."""
+    Deterministic variant: a fixed 3x3 grid of third-size crops instead of
+    the reference's 8 random ones (jit-friendly and reproducible; the
+    statistic is a variance spread, insensitive to the sampling pattern)."""
     x = img * 255.0
     b, h, w, _ = x.shape
     ch, cw = h // 3, w // 3
@@ -298,7 +299,14 @@ def hf_glcm_contrast(gray):
 
 def multiscale_fft_confidence(gray):
     """Spectral-energy stability across 256/128/64 rescales → bool-ish
-    (appv3.py:2202-2222). Returns (B,) 1.0 = stable (real-like)."""
+    (appv3.py:2202-2222). Returns (B,) 1.0 = stable (real-like).
+
+    Parity note: raw |FFT| std roughly halves with each resolution halving,
+    so diff ≈ 0.9·mean and the reference's `diff < 0.15*mean` test is
+    almost never true on natural images — the reference cue (and therefore
+    this one) effectively always votes 0.0; its real-camera override in the
+    cascade is correspondingly rare. Kept formula-exact rather than
+    "fixed", since cascade thresholds were tuned against this behavior."""
     scores = []
     b = gray.shape[0]
     for sz in (256, 128, 64):

@@ -36,9 +36,10 @@ def _battery_keys() -> tuple:
 
 
 # per-image scalars the fusion tail computes on device, in pack order
-TAIL_SCALARS = ("bayes_certainty", "bayes_posterior", "diri_conflict",
-                "diri_uncertainty", "embed_cos_dev", "embed_score",
-                "gen_likelihood", "hb_prob", "render_score", "xgb_prob")
+TAIL_SCALARS = ("bayes_cal_jpeg", "bayes_certainty", "bayes_posterior",
+                "diri_conflict", "diri_uncertainty", "embed_cos_dev",
+                "embed_score", "gen_likelihood", "hb_prob", "render_score",
+                "xgb_prob")
 
 
 def _face_signals(engine, pixels_uint8):
@@ -213,6 +214,10 @@ def _build_fusion_tail(engine: DetectEngine, fast: bool):
             cfa_fake_score=fb["cfa_fake"], real_prior=fb["real_prior_v3"])
 
         tail_vals = {
+            # the (possibly isotonic-recalibrated) jpeg cue — the verdict's
+            # benign-JPEG penalty reads it as "jpeg" (appv3.py:5936-5937
+            # copies fusion_calibrated["jpeg"] into the decision payload)
+            "bayes_cal_jpeg": bayes["calibrated"]["jpeg"],
             "bayes_certainty": bayes["certainty"],
             "bayes_posterior": bayes["posterior_fake"],
             "diri_conflict": diri["conflict"],
@@ -355,12 +360,15 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
                 float(max_patch[i]), float(patch_mean[i]))
 
         # diagnostics: three-way + RBR rule-table outputs (also applied
-        # inside the cascade)
+        # inside the cascade). jpeg_resid takes the Q-mismatch score like
+        # the cascade and the reference (appv3.py:5812 jpeg_resid=
+        # jpeg_q_score) — the raw jpeg_residual is on a ~0.002 scale and
+        # would never trip the > 0.80 tamper condition
         three_way = classify_three_way(
             p_final, fb["real_prior_v3"][i], forensic_score[i],
             fb["cfa_fake"][i], fb["perlin"][i], fb["grain"][i],
             fb["multiscale_fft"][i], patch_mean[i], patch_spread[i],
-            fb["jpeg_residual"][i], fb["histogram_consistency"][i],
+            fb["jpeg_q_mismatch"][i], fb["histogram_consistency"][i],
             fb["texture_noise"][i])
         rbr_label, rbr_code = classify_rbr(
             p_final, fb["real_prior_v3"][i], forensic_score[i],
@@ -436,6 +444,9 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
             "dirichlet_uncertainty": float(diri["uncertainty"][i]),
             "dirichlet_conflict": float(diri["conflict"][i]),
             "jpeg_q_mismatch_score": float(fb["jpeg_q_mismatch"][i]),
+            # calibrated jpeg cue for decide_verdict's benign-JPEG penalty
+            # (appv3.py:5936-5937 → apply_benign_jpeg_penalty :4412)
+            "jpeg": float(np.asarray(core["bayes_cal_jpeg"])[i]),
             "saturation_peak_score": float(fb["saturation_peak"][i]),
             "cfa_fake_score": float(fb["cfa_fake"][i]),
             "prnu_strength_raw": float(fb["prnu_strength"][i]),
@@ -522,10 +533,17 @@ def _video_temporal_for(engine: DetectEngine, frames_uint8,
     return fn, names
 
 
-# sora escalation constants (appv3.py:163-185 defaults)
-SORA_TAMPERED_THRESH = 0.15
-SORA_FAKE_THRESH = 0.20
-SORA_ODDS = {"low": 1.12, "med": 1.25, "high": 1.45}
+# sora escalation thresholds — env-tunable with the reference's variable
+# names (appv3.py:163-185). Note at the defaults the "med" odds tier
+# (sl >= tampered+0.15) is shadowed by the "high" branch (sl >= fake),
+# exactly as in the reference; it becomes live when SORA_FAKE_THRESH is
+# raised above SORA_TAMPERED_THRESH + 0.15
+from tpudf.core.config import _env_float as _envf
+SORA_TAMPERED_THRESH = _envf("SORA_TAMPERED_THRESH", 0.15, 0.01, 0.99)
+SORA_FAKE_THRESH = _envf("SORA_FAKE_THRESH", 0.20, 0.01, 0.99)
+SORA_ODDS = {"low": _envf("SORA_ODDS_LOW", 1.12, 1.0, 5.0),
+             "med": _envf("SORA_ODDS_MED", 1.25, 1.0, 5.0),
+             "high": _envf("SORA_ODDS_HIGH", 1.45, 1.0, 5.0)}
 
 
 def _odds(p, eps=1e-6):
