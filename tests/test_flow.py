@@ -106,3 +106,29 @@ def test_signals_against_cv2():
         if key in host:
             assert abs(dev[key] - host[key]) < 0.35, (key, dev[key],
                                                       host[key])
+
+def test_parallax_per_pair_gating_matches_host_semantics():
+    """parallax_err normalizes and gates PER frame pair (like the host
+    battery): on a clip where one pair is near-static and another moves,
+    the static pair must not dilute the moving pair's roughness ratio,
+    and a clip whose every pair is static stays NaN even if one noisy
+    pair would push a pooled global mean over the 0.2 gate."""
+    big = _texture(160, 160, seed=7)
+    still = big[:96, :96]
+    # pair 0: static; pairs 1-2: fast sliding crops (strong motion)
+    frames = np.stack([still, still,
+                       big[10:106, 20:116], big[20:116, 40:136]]) / 255.0
+    s = {k: float(v) for k, v in
+         flow_signals(jnp.asarray(frames), levels=3).items()}
+    assert np.isfinite(s["parallax_err"])
+
+    # moving-only clip: the per-pair ratio average must match (the static
+    # pair is excluded by the per-pair gate, not averaged in)
+    moving = np.stack([big[10:106, 20:116], big[20:116, 40:136],
+                       big[30:126, 60:156]]) / 255.0
+    m = {k: float(v) for k, v in
+         flow_signals(jnp.asarray(moving), levels=3).items()}
+    # pair set of `moving` == the moving pairs of `frames` plus one more
+    # similar slide; the gated averages must be in the same range, NOT
+    # diluted toward zero by the static pair
+    assert abs(s["parallax_err"] - m["parallax_err"]) < 0.25, (s, m)

@@ -227,13 +227,22 @@ def flow_signals(gray, *, levels: int = 4):
     warped = _warp_bilinear(a, -u, -v)
     reproj = jnp.mean(jnp.abs(warped - b))
 
-    # parallax: local flow-magnitude roughness / global magnitude
+    # parallax: local flow-magnitude roughness / magnitude, normalized and
+    # gated PER FRAME PAIR exactly like the host battery
+    # (fuse/temporal.host_flow_signals): pooling the mean over all pairs
+    # would dilute fast pairs' roughness with static pairs and flip the
+    # 0.2 motion gate on heterogeneous-motion clips
     local_mu = _box_mean(mag, 7)
     local_var = _box_mean((mag - local_mu) ** 2, 7)
-    mag_mean = jnp.mean(mag)
-    par = jnp.where(mag_mean > 0.2,
-                    jnp.mean(jnp.sqrt(jnp.maximum(local_var, 0.0)))
-                    / (mag_mean + 1e-6), jnp.nan)
+    pair_mag = jnp.mean(mag, axis=(1, 2))                       # (T-1,)
+    pair_rough = jnp.mean(jnp.sqrt(jnp.maximum(local_var, 0.0)),
+                          axis=(1, 2))
+    moving_pair = (pair_mag > 0.2).astype(jnp.float32)
+    n_moving = jnp.sum(moving_pair)
+    ratios = pair_rough / (pair_mag + 1e-6)
+    par = jnp.where(n_moving > 0,
+                    jnp.sum(ratios * moving_pair)
+                    / jnp.maximum(n_moving, 1.0), jnp.nan)
 
     # KLT-style instability: fb failure rate at corner pixels
     resp = _harris(a)

@@ -165,7 +165,7 @@ def prnu_acorr(gray):
     exception path."""
     noise = gray * 255.0 - gaussian_blur(gray * 255.0, 1.5)
     energy = jnp.sum(noise * noise, axis=(1, 2))
-    ac_peak = energy / (jnp.sqrt(energy) * jnp.sqrt(energy) + _EPS)
+    ac_peak = energy / (energy + _EPS)
     return jnp.clip((ac_peak - 0.95) * 20.0, 0.0, 1.0)
 
 
