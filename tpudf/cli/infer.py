@@ -115,20 +115,14 @@ def build_engine(args, calib_uint8=None):
         backbone = init_siglip(jax.random.key(args.seed), cfg)
     head = init_binary_head(jax.random.key(args.seed + 1), cfg.width)
     if getattr(args, "head_ckpt", None):
-        from tpudf.train.checkpoint import restore_checkpoint
-        from tpudf.train.steps import init_train_state, make_optimizer
-        opt = make_optimizer(total_steps=1)
-        restored = None
-        for ema_decay in (None, 0.999):   # try both saved-state shapes
-            template = init_train_state(head, opt, ema_decay)._asdict() \
-                | {"epoch": 0}
-            try:
-                restored = restore_checkpoint(args.head_ckpt, template)
-                break
-            except Exception:
-                continue
-        if restored is None:
-            raise SystemExit(f"cannot restore head from {args.head_ckpt}")
+        from tpudf.train.checkpoint import restore_train_state
+        from tpudf.train.steps import make_optimizer
+        try:
+            restored = restore_train_state(
+                args.head_ckpt, head, make_optimizer(total_steps=1))
+        except ValueError as e:
+            raise SystemExit(
+                f"cannot restore head from {args.head_ckpt}: {e}")
         head = restored["ema"] if restored.get("ema") is not None \
             else restored["params"]
         print(f"[head] restored {args.head_ckpt}")

@@ -68,7 +68,7 @@ def main(argv=None):
     from tpudf.eval.metrics import binary_metrics
     from tpudf.models.heads import init_binary_head, init_fast_binary_head
     from tpudf.models.siglip import CONFIGS, init_siglip, siglip_forward
-    from tpudf.train.checkpoint import (restore_checkpoint, save_checkpoint)
+    from tpudf.train.checkpoint import (restore_train_state, save_checkpoint)
     from tpudf.train.loops import LoopConfig, run_training
     from tpudf.train.steps import (init_train_state, make_binary_train_step,
                                    make_optimizer)
@@ -126,8 +126,14 @@ def main(argv=None):
     state = init_train_state(head, optimizer,
                              args.ema_decay if args.ema_decay else None)
     if args.resume and os.path.exists(args.resume):
-        state = restore_checkpoint(args.resume, state)
-        print(f"[resume] restored {args.resume}")
+        from tpudf.train.steps import TrainState
+        restored = restore_train_state(args.resume, head, optimizer)
+        state = TrainState(params=restored["params"],
+                           opt_state=restored["opt_state"],
+                           ema=restored.get("ema"),
+                           step=restored["step"])
+        print(f"[resume] restored {args.resume} "
+              f"(epoch {restored.get('epoch')})")
 
     from tpudf.models.heads import apply_binary_head, apply_fast_binary_head
     apply = apply_binary_head if args.head == "v5" else apply_fast_binary_head

@@ -38,6 +38,26 @@ def restore_checkpoint(path: str, like: Any):
     return ckptr.restore(path, template)
 
 
+def restore_train_state(path: str, params: Any, optimizer,
+                        ema_decays=(None, 0.999)):
+    """Restore a trainer checkpoint (``state._asdict() | {"epoch": e}``,
+    the layout every CLI trainer's save_best writes) without knowing
+    whether it was trained with EMA: tries templates with and without an
+    EMA slot, mirroring the reference's checkpoint-shape auto-detection
+    (inference_ai_human_images.py:804-827). Returns the restored dict
+    (keys params/opt_state/ema/step/epoch)."""
+    from tpudf.train.steps import init_train_state
+    err = None
+    for d in ema_decays:
+        template = init_train_state(params, optimizer, d)._asdict() \
+            | {"epoch": 0}
+        try:
+            return restore_checkpoint(path, template)
+        except Exception as e:           # structure mismatch → next shape
+            err = e
+    raise ValueError(f"cannot restore train state from {path}") from err
+
+
 def load_metrics(path: str) -> dict | None:
     p = path + ".metrics.json"
     if os.path.exists(p):
