@@ -21,6 +21,8 @@ sys.path[:0] = [os.path.dirname(_here), _here]
 import jax
 import jax.numpy as jnp
 
+from _slope import slope  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -32,32 +34,6 @@ from tpudf.ops.tome import deployed_floor, merge_schedule  # noqa: E402
 
 B = 256
 CFG = CONFIGS["base-256"]
-
-
-def chain(f, iters):
-    def run(x, seed):
-        def body(_, acc):
-            out = f(x + ((acc + seed) * 1e-30).astype(x.dtype))
-            return acc + jnp.sum(out).astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    return jax.jit(run)
-
-
-def slope(f, x, lo=8, hi=32, reps=5):
-    glo, ghi = chain(f, lo), chain(f, hi)
-    seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
-    float(jax.device_get(glo(x, seeds[-1])))
-    float(jax.device_get(ghi(x, seeds[-2])))
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(jax.device_get(glo(x, seeds[2 * i])))
-        t1 = time.perf_counter()
-        float(jax.device_get(ghi(x, seeds[2 * i + 1])))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-    ts.sort()
-    return ts[len(ts) // 2]
 
 
 def floor_fn(toks, w, m):
@@ -106,7 +82,7 @@ def main():
 
     x = jax.random.uniform(jax.random.key(2), (B * s0, cfg.width),
                            jnp.float32) * 64
-    dt = slope(floor_fn(floor_toks, cfg.width, cfg.mlp_dim), x)
+    dt = slope(floor_fn(floor_toks, cfg.width, cfg.mlp_dim), x, lo=8, hi=32, reps=5)
     print(f"floor    : {dt*1e3:8.3f} ms  {B/dt:8.0f} img/s-equiv", flush=True)
 
     def tower(px, bb):
@@ -115,7 +91,7 @@ def main():
                               tome_floor=deployed_floor(s0))["pooled"]
 
     for name, bb in (("deployed ", bb_q), ("bf16_tome", backbone)):
-        dt = slope(lambda px, bb=bb: tower(px, bb), pixels)
+        dt = slope(lambda px, bb=bb: tower(px, bb), pixels, lo=8, hi=32, reps=5)
         print(f"{name}: {dt*1e3:8.3f} ms  {B/dt:8.0f} img/s", flush=True)
 
 

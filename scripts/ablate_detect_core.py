@@ -19,6 +19,8 @@ sys.path[:0] = [os.path.dirname(_here), _here]
 import jax
 import jax.numpy as jnp
 
+from _slope import slope  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -34,32 +36,6 @@ from tpudf.ops.fft_features import extract_freq_vector  # noqa: E402
 from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor  # noqa: E402
 
 B = 256
-
-
-def chain(f, iters):
-    def run(x, seed):
-        def body(_, acc):
-            out = f(x + ((acc + seed) * 1e-30).astype(x.dtype))
-            return acc + jnp.sum(out).astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    return jax.jit(run)
-
-
-def slope(f, x, lo=4, hi=16, reps=5):
-    glo, ghi = chain(f, lo), chain(f, hi)
-    seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
-    float(jax.device_get(glo(x, seeds[-1])))
-    float(jax.device_get(ghi(x, seeds[-2])))
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(jax.device_get(glo(x, seeds[2 * i])))
-        t1 = time.perf_counter()
-        float(jax.device_get(ghi(x, seeds[2 * i + 1])))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-    ts.sort()
-    return ts[len(ts) // 2]
 
 
 def main():
@@ -97,7 +73,7 @@ def main():
 
     for name, f, x in [("full", full, px), ("tower", tower, px),
                        ("freq", freq_only, px), ("tail", tail, z)]:
-        dt = slope(f, x)
+        dt = slope(f, x, lo=4, hi=16, reps=5)
         print(f"{name:8s} {dt * 1e3:8.2f} ms/batch   "
               f"{B / dt:10.0f} img/s")
 

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _slope import slope  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -27,44 +29,21 @@ B = 256
 H = W = 256
 
 
-def chain(f, iters):
-    def run(x, seed):
-        def body(_, acc):
-            out = f(x + ((acc + seed) * 1e-30).astype(x.dtype))
-            return acc + jnp.sum(out).astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    return jax.jit(run)
-
-
-def slope(f, x, lo=4, hi=16, reps=5):
-    glo, ghi = chain(f, lo), chain(f, hi)
-    seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
-    float(jax.device_get(glo(x, seeds[-1])))
-    float(jax.device_get(ghi(x, seeds[-2])))
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(jax.device_get(glo(x, seeds[2 * i])))
-        t1 = time.perf_counter()
-        float(jax.device_get(ghi(x, seeds[2 * i + 1])))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-    ts.sort()
-    return ts[len(ts) // 2]
-
-
 def main():
     key = jax.random.key(0)
     gray = jax.random.uniform(key, (B, H, W), jnp.float32)
 
-    mask, binm, bin_counts, sect_counts, slope_w = [
-        jnp.asarray(a) for a in _static_masks(H, W)]
+    mask, binm = [jnp.asarray(a) for a in _static_masks(H, W)[:2]]
 
     def dft(g):
         re, im = fft2_shifted_matmul(g)
         return re[:, 0, 0] + im[:, 0, 0]
 
     def entropy_only(g):
+        # times the 49 boundary compare+sum passes only; the hist/prob/log
+        # tail of the real feature (fft_features.py:215-220) is (B, 50)-
+        # shaped and intentionally excluded as negligible
+
         re, im = fft2_shifted_matmul(g)
         phase = jnp.arctan2(im, re).reshape(B, H * W)
         nb = 50
@@ -96,7 +75,7 @@ def main():
         ("srm", lambda g: srm_features(g)),
     ]
     for name, f in rows:
-        dt = slope(f, gray)
+        dt = slope(f, gray, lo=4, hi=16, reps=5)
         print(f"{name:8s} {dt * 1e3:7.3f} ms/batch")
 
 

@@ -19,6 +19,8 @@ sys.path[:0] = [os.path.dirname(_here), _here]
 import jax
 import jax.numpy as jnp
 
+from _slope import slope  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 from tpudf.models.siglip import CONFIGS  # noqa: E402
@@ -26,32 +28,6 @@ from tpudf.ops.tome import deployed_floor, merge_schedule  # noqa: E402
 
 B = 16
 CFG = CONFIGS["so400m-512"]
-
-
-def chain(f, iters):
-    def run(x, seed):
-        def body(_, acc):
-            out = f(x + (acc + seed).astype(x.dtype) * 0)
-            return acc + jnp.sum(out).astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    return jax.jit(run)
-
-
-def slope(f, x, lo=32, hi=128, reps=3):
-    glo, ghi = chain(f, lo), chain(f, hi)
-    seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
-    float(jax.device_get(glo(x, seeds[-1])))
-    float(jax.device_get(ghi(x, seeds[-2])))
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(jax.device_get(glo(x, seeds[2 * i])))
-        t1 = time.perf_counter()
-        float(jax.device_get(ghi(x, seeds[2 * i + 1])))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-    ts.sort()
-    return ts[len(ts) // 2]
 
 
 def proj_stack(toks, w, qkv_cols, out_rows):
@@ -96,7 +72,7 @@ def main():
         2.0 * B * s * w * cols + 2.0 * B * s * rows * w for s in toks)
     for name, cols, rows in (("padded", 3 * dp, dp),
                              ("dense ", 3 * w, w)):
-        dt = slope(proj_stack(toks, w, cols, rows), x)
+        dt = slope(proj_stack(toks, w, cols, rows), x, lo=32, hi=128, reps=3)
         print(f"{name}: {dt*1e3:8.3f} ms/pass  "
               f"{flops(cols, rows)/dt/1e12:7.1f} TOP/s", flush=True)
 

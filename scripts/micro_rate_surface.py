@@ -20,36 +20,9 @@ sys.path[:0] = [os.path.dirname(_here), _here]
 import jax
 import jax.numpy as jnp
 
+from _slope import slope  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-
-
-def chain(f, iters):
-    # eps must be data-dependent and non-foldable (1e-30, not *0) or XLA
-    # hoists the input quantize out of the loop and the measured body
-    # changes (observed: 163 vs 220 TOP/s for the same shape)
-    def run(w, xf, seed):
-        def body(_, acc):
-            out = f(w, xf + ((acc + seed) * 1e-30).astype(xf.dtype))
-            return acc + jnp.sum(out) * 1e-30
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    return jax.jit(run)
-
-
-def slope(f, w, x, lo=64, hi=256, reps=3):
-    glo, ghi = chain(f, lo), chain(f, hi)
-    seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
-    float(jax.device_get(glo(w, x, seeds[-1])))
-    float(jax.device_get(ghi(w, x, seeds[-2])))
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(jax.device_get(glo(w, x, seeds[2 * i])))
-        t1 = time.perf_counter()
-        float(jax.device_get(ghi(w, x, seeds[2 * i + 1])))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-    ts.sort()
-    return ts[len(ts) // 2]
 
 
 def rate(m, k, n):  # noqa: D103 — M rows, contraction K, output cols N
@@ -62,7 +35,7 @@ def rate(m, k, n):  # noqa: D103 — M rows, contraction K, output cols N
                                 preferred_element_type=jnp.int32)
         return jnp.sum(y).astype(jnp.float32)
 
-    dt = slope(f, w, x)
+    dt = slope(f, w, x, lo=64, hi=256, reps=3)
     return 2.0 * m * k * n / dt / 1e12
 
 

@@ -15,35 +15,11 @@ sys.path[:0] = ["/root/repo", "/root/repo/scripts"]
 import jax
 import jax.numpy as jnp
 
+from _slope import slope  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 B, S, R, W = 256, 256, 64, 768
-
-
-def chain(f, iters):
-    def run(x, seed):
-        def body(_, acc):
-            out = f(x + ((acc + seed) * 1e-30).astype(x.dtype))
-            return acc + jnp.sum(out).astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    return jax.jit(run)
-
-
-def slope(f, x, lo=8, hi=64, reps=5):
-    glo, ghi = chain(f, lo), chain(f, hi)
-    seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
-    float(jax.device_get(glo(x, seeds[-1])))
-    float(jax.device_get(ghi(x, seeds[-2])))
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(jax.device_get(glo(x, seeds[2 * i])))
-        t1 = time.perf_counter()
-        float(jax.device_get(ghi(x, seeds[2 * i + 1])))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-    ts.sort()
-    return ts[len(ts) // 2]
 
 
 def stage_fn(stage):
@@ -92,5 +68,5 @@ if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     x0 = jax.random.normal(jax.random.key(3), (B, S, W), jnp.float32)
     for stage in ("sim", "topk", "assign", "onehot", "full"):
-        dt = slope(stage_fn(stage), x0)
+        dt = slope(stage_fn(stage), x0, lo=8, hi=64, reps=5)
         print(f"{stage:7s}: {dt*1e3:7.3f} ms", flush=True)

@@ -20,6 +20,8 @@ sys.path[:0] = [os.path.dirname(_here), _here]
 import jax
 import jax.numpy as jnp
 
+from _slope import slope  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 from tpudf.models.siglip import CONFIGS  # noqa: E402
@@ -27,32 +29,6 @@ from tpudf.ops.tome import deployed_floor, merge_schedule  # noqa: E402
 
 B = 256
 CFG = CONFIGS["base-256"]
-
-
-def chain(f, iters):
-    def run(x, seed):
-        def body(_, acc):
-            out = f(x + ((acc + seed) * 1e-30).astype(x.dtype))
-            return acc + jnp.sum(out).astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-    return jax.jit(run)
-
-
-def slope(f, x, lo=16, hi=64, reps=5):
-    glo, ghi = chain(f, lo), chain(f, hi)
-    seeds = [jnp.float32(i * 1e-7) for i in range(2 * reps + 2)]
-    float(jax.device_get(glo(x, seeds[-1])))
-    float(jax.device_get(ghi(x, seeds[-2])))
-    ts = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(jax.device_get(glo(x, seeds[2 * i])))
-        t1 = time.perf_counter()
-        float(jax.device_get(ghi(x, seeds[2 * i + 1])))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (hi - lo))
-    ts.sort()
-    return ts[len(ts) // 2]
 
 
 def make_weights(w, m, transposed):
@@ -119,7 +95,7 @@ def main():
     for transposed in (False, True):
         shape = (w, B * s0) if transposed else (B * s0, w)
         x = jax.random.uniform(jax.random.key(0), shape, jnp.float32) * 64
-        dt = slope(stack_fn(toks, w, m, transposed), x)
+        dt = slope(stack_fn(toks, w, m, transposed), x, lo=16, hi=64, reps=5)
         tag = "transposed" if transposed else "normal    "
         print(f"{tag}: {dt*1e3:8.3f} ms/pass  {flops/dt/1e12:7.1f} TOP/s",
               flush=True)

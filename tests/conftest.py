@@ -25,11 +25,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# build the native JPEG decoder once if the toolchain is available, so the
-# decode tests run instead of skipping (cpp/decode.cc + `make -C cpp`)
+# build the native decoders once if the toolchain is available, so the
+# decode/video tests run instead of skipping (cpp/*.cc + `make -C cpp`)
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_so = os.path.join(_repo, "cpp", "libtpudf_decode.so")
-if not os.path.exists(_so):
+if not all(os.path.exists(os.path.join(_repo, "cpp", so))
+           for so in ("libtpudf_decode.so", "libtpudf_video.so")):
     import subprocess
     try:
         subprocess.run(["make", "-C", os.path.join(_repo, "cpp")],

@@ -87,10 +87,23 @@ def adaptive_sample_indices(indices, diffs, max_samples=12, min_gap=2):
 
 
 def sample_video(path: str, max_samples=12, stride=5, cut_thresh=0.45,
-                 size=256, scene_aware=True):
+                 size=256, scene_aware=True, prefer_native=True):
     """Full sampler: scan → primary scene → adaptive pick → decode frames.
-    Returns (uint8 (T, size, size, 3), frame_indices). Falls back to uniform
-    linspace when cv2 or scene data is unavailable."""
+    Returns (uint8 (T, size, size, 3), frame_indices).
+
+    Prefers the native libavcodec sampler (cpp/video.cc via
+    data/video_native.py — two multithreaded sequential passes instead of
+    cv2's per-index GOP re-decodes); falls back to the cv2 path below, and
+    to uniform linspace when scene data is unavailable. Set
+    TPUDF_NO_NATIVE_VIDEO=1 or prefer_native=False to force cv2."""
+    import os
+    if prefer_native and not os.environ.get("TPUDF_NO_NATIVE_VIDEO"):
+        from tpudf.data.video_native import sample_video_native
+        frames, idxs = sample_video_native(
+            path, max_samples=max_samples, stride=stride,
+            cut_thresh=cut_thresh, size=size, scene_aware=scene_aware)
+        if frames is not None:
+            return frames, idxs
     try:
         import cv2
     except Exception:
