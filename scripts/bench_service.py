@@ -7,7 +7,16 @@ p50/p90/p99 request latency — the serving-shape numbers behind
 BASELINE.json's metric string. The reference serves one request at a time
 through Gradio (appv3.py:6404-6457) with no batching at all.
 
+Two modes:
+  * closed-loop (default): M client threads, back-to-back requests —
+    sustained throughput ceiling.
+  * open-loop (--sweep "rps,rps,..."): Poisson arrivals at each offered
+    rate — the p50/p99-vs-load SLO curve a capacity planner needs
+    (requests are fired on schedule regardless of completions, so queueing
+    delay shows up instead of being absorbed by client back-pressure).
+
 Usage: python scripts/bench_service.py [--fast] [--requests N] [--clients M]
+       python scripts/bench_service.py --fast --sweep 500,1000,2000,4000
 """
 import argparse
 import sys
@@ -32,6 +41,9 @@ def main():
                     help="total requests across all clients")
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--max_batch", type=int, default=64)
+    ap.add_argument("--sweep", default=None,
+                    help="comma-separated offered loads (requests/sec) for "
+                         "the open-loop Poisson mode")
     args = ap.parse_args()
 
     from tpudf.calib.coral import CoralCutpoints
@@ -61,6 +73,11 @@ def main():
     svc.warmup(fast=args.fast)        # compile every pow2 batch bucket
     img = rng.integers(0, 256, (256, 256, 3), np.uint8)
     svc.predict(img, fast=args.fast, timeout=900.0)
+
+    if args.sweep:
+        _open_loop_sweep(svc, args, rng)
+        svc.close()
+        return
 
     per_client = args.requests // args.clients
     lats = []
@@ -100,6 +117,50 @@ def main():
         "p99_ms": round(1e3 * lats[int(n * 0.99)], 2),
         "mean_batch": round(stats.get("mean_batch_size", 0), 1),
     })
+
+
+def _open_loop_sweep(svc, args, rng):
+    """Poisson arrivals at each offered rate; p50/p99 include queueing."""
+    img_pool = [rng.integers(0, 256, (256, 256, 3), np.uint8)
+                for _ in range(32)]
+    for rate in [float(r) for r in args.sweep.split(",")]:
+        n = max(int(min(args.requests, rate * 4)), 64)   # ~4 s of traffic
+        lats, errs = [], [0]
+        lock = threading.Lock()
+        done = threading.Semaphore(0)
+
+        def fire(px):
+            t0 = time.perf_counter()
+            try:
+                svc.predict(px, fast=args.fast, timeout=120.0)
+                with lock:
+                    lats.append(time.perf_counter() - t0)
+            except Exception:
+                with lock:
+                    errs[0] += 1
+            done.release()
+
+        arr = np.random.default_rng(int(rate)).exponential(1.0 / rate, n)
+        t_next = time.perf_counter()
+        for i in range(n):
+            t_next += arr[i]
+            delay = t_next - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            threading.Thread(target=fire, args=(img_pool[i % 32],),
+                             daemon=True).start()
+        for _ in range(n):
+            done.acquire()
+        ls = np.sort(np.asarray(lats))
+        m = len(ls)
+        print({
+            "mode": "fast" if args.fast else "full",
+            "offered_rps": rate, "requests": n, "errors": errs[0],
+            "p50_ms": round(1e3 * ls[m // 2], 2),
+            "p99_ms": round(1e3 * ls[min(m - 1, int(m * 0.99))], 2),
+            "mean_batch": round(
+                svc.snapshot_stats().get("mean_batch_size", 0), 1),
+        })
 
 
 if __name__ == "__main__":

@@ -130,3 +130,51 @@ def test_app_cli_args_wire_into_build_engine():
     src = inspect.getsource(app_mod.main)
     for flag in ("--seed", "--int8", "--tome_r", "--head_ckpt"):
         assert flag in src, f"serve/app.py main() lost {flag}"
+
+
+def test_blocks_graph_executes_with_stub(monkeypatch, tmp_path):
+    """serve/app.main's REAL Blocks construction runs against the vendored
+    gradio stub (tests/_gradio_stub.py — r3 verdict item 8): the callback
+    graph is recorded, and executing each real callback must produce
+    exactly as many payloads as the click binding declares outputs."""
+    import sys
+
+    from tests import _gradio_stub as stub
+    from tpudf.serve import app as app_mod
+
+    stub.Blocks.instances.clear()
+    monkeypatch.setitem(sys.modules, "gradio", stub)
+    # don't block on a real server; stub launch records kwargs
+    app_mod.main(["--model_size", "test-32"])
+
+    assert len(stub.Blocks.instances) == 1
+    demo = stub.Blocks.instances[0]
+    assert demo.launched is not None
+    assert len(demo.clicks) == 2, "image + video callbacks expected"
+
+    (img_fn, img_in, img_out), (vid_fn, vid_in, vid_out) = demo.clicks
+    assert isinstance(img_in, stub.Image) and isinstance(vid_in, stub.Video)
+
+    from PIL import Image as PILImage
+    rng = np.random.default_rng(0)
+    pil = PILImage.fromarray(
+        rng.integers(0, 256, (32, 32, 3), np.uint8))
+    payload = img_fn(pil)
+    assert len(payload) == len(img_out), \
+        f"image callback arity {len(payload)} != outputs {len(img_out)}"
+    assert "<div" in payload[0]                      # verdict html
+    assert os.path.exists(payload[-1])               # json download path
+
+    cv2 = pytest.importorskip("cv2")
+    vid = str(tmp_path / "clip.mp4")
+    # 5 frames: predict_video then compiles the same (5, 32, 32, 3) graph
+    # test_report.py already exercises (persistent-cache hit)
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+    for _ in range(5):
+        w.write(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    w.release()
+    payload = vid_fn(vid)
+    assert len(payload) == len(vid_out), \
+        f"video callback arity {len(payload)} != outputs {len(vid_out)}"
+    assert isinstance(payload[6], list)              # frame table rows
+    assert os.path.exists(payload[-1])

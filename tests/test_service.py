@@ -113,3 +113,52 @@ def test_padded_dispatch_matches_unpadded(service):
     for a, b in zip(plain, padded):
         assert a["p_fake_raw"] == pytest.approx(b["p_fake_raw"], abs=1e-5)
         assert a["final_label"] == b["final_label"]
+
+
+def test_burst_arrivals_no_starvation(service):
+    """Queue-starvation regression (r3 verdict item 7): a burst of
+    3x max_batch simultaneous fast requests plus one interleaved FULL
+    request — every request completes, the full request is not starved by
+    the continuing fast stream, and the tail is bounded (percentile stats
+    exposed by snapshot_stats)."""
+    rng = np.random.default_rng(2)
+    n_burst = 3 * service.max_batch
+    done = {}
+    lock = threading.Lock()
+
+    def fast_call(i):
+        px = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        r = service.predict(px, fast=True, timeout=300)
+        with lock:
+            done[i] = r
+
+    threads = [threading.Thread(target=fast_call, args=(i,))
+               for i in range(n_burst)]
+    for t in threads[:n_burst // 2]:
+        t.start()
+    # full request lands mid-burst; the rest of the burst keeps arriving
+    import time
+    full_box = {}
+
+    def full_call():
+        px = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        t0 = time.perf_counter()
+        full_box["report"] = service.predict(px, fast=False, timeout=300)
+        full_box["latency"] = time.perf_counter() - t0
+
+    ft = threading.Thread(target=full_call)
+    ft.start()
+    for t in threads[n_burst // 2:]:
+        t.start()
+    for t in threads:
+        t.join()
+    ft.join()
+
+    assert len(done) == n_burst
+    assert "patch_probs" in full_box["report"], "full request starved"
+    stats = service.snapshot_stats()
+    assert "p50_latency_s" in stats and "p99_latency_s" in stats
+    # the full request must not wait out the whole burst: it rides one of
+    # the first batches after arrival (generous bound: half the burst's
+    # wall time, not after all fast traffic)
+    assert full_box["latency"] < max(stats["p99_latency_s"] * 3.0, 60.0)

@@ -3,7 +3,10 @@ exercising `sid_example_to_arrays` label/mask semantics and the collate
 normalization, mirroring siglip2siddataset.py:867-938.
 """
 
+import os
+
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from PIL import Image
 
@@ -74,3 +77,60 @@ def test_label_names_roundtrip():
         b = sid_example_to_arrays({"image": _img(5, 32), "label": i}, 32)
         assert a["cls"] == b["cls"] == i
         assert a["binary"] == b["binary"] == float(i > 0)
+
+
+def test_live_schema_variants():
+    """Hardening for the real dataset's known encodings (r3 verdict item
+    9): spelling/case label drift, {bytes}/{path} image dicts, 0-1-valued
+    float masks, undecodable masks → reference's zero-mask fallback
+    (siglip2siddataset.py:871-907)."""
+    import io
+
+    from PIL import Image
+
+    from tpudf.data.datasets import sid_example_to_arrays, sid_label_to_index
+
+    # label variants: ints pass through; else-branch strings → tampered
+    assert sid_label_to_index("Real ") == 0
+    assert sid_label_to_index("full_synthetic") == 1
+    assert sid_label_to_index("FULLY_SYNTHETIC") == 1
+    assert sid_label_to_index("splice_edit") == 2       # unknown → tampered
+    assert sid_label_to_index(np.int64(1)) == 1
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 256, (40, 48, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+
+    # bytes-dict image + 0/1-valued float mask
+    mask01 = (rng.random((40, 48)) > 0.6).astype(np.float32)
+    out = sid_example_to_arrays(
+        {"image": {"bytes": buf.getvalue(), "path": None},
+         "label": "tampered", "mask": mask01}, 32)
+    assert out["pixels"].shape == (32, 32, 3)
+    assert out["cls"] == 2 and out["has_mask"]
+    assert 0.1 < out["mask"].mean() < 0.8   # not all-zero (old >127 bug)
+
+    # undecodable mask → zero mask, has_mask False (reference fallback)
+    out = sid_example_to_arrays(
+        {"image": img, "label": 1, "mask": {"bogus": True}}, 32)
+    assert not out["has_mask"] and out["mask"].sum() == 0.0
+
+
+@pytest.mark.network
+@pytest.mark.skipif(os.environ.get("TPUDF_NETWORK_TESTS") != "1",
+                    reason="live HF pull; set TPUDF_NETWORK_TESTS=1")
+def test_live_sid_set_first_examples():
+    """First networked run is a test, not a debugging session: pull a few
+    live SID_Set examples and push them through the array mapping
+    (ref siglip2siddataset.py:943)."""
+    from tpudf.data.datasets import load_sid_set, sid_example_to_arrays
+    ds = load_sid_set("validation", subset=":8")
+    n_mask = 0
+    for ex in ds:
+        out = sid_example_to_arrays(ex, 64)
+        assert out["pixels"].shape == (64, 64, 3)
+        assert out["cls"] in (0, 1, 2)
+        assert out["mask"].shape == (64, 64)
+        n_mask += int(out["has_mask"])
+        assert out["has_mask"] == (out["cls"] == 2) or out["cls"] != 2

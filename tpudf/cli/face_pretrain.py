@@ -1,12 +1,15 @@
-"""Pretrain + cache the 5-pt face landmark network.
+"""Pretrain + cache the face nets: 5-pt landmarks + identity embedding.
 
 The environment-native replacement for downloading insightface weights
-(appv3.py:67-90; zero-egress here): trains models/face_landmark.py on the
-procedural generator (data/synth_faces.py) and caches the weights where
-serve/face.get_landmark_params finds them. Deterministic for a seed.
+(appv3.py:67-90 — detector/landmarks/ArcFace; zero-egress here): trains
+models/face_landmark.py and models/face_embed.py on the procedural
+generator (data/synth_faces.py) and caches the weights where
+serve/face.get_landmark_params / get_face_embed_params find them.
+Deterministic for a seed.
 
 Usage:
-  python -m tpudf.cli.face_pretrain [--steps 3000] [--out PATH]
+  python -m tpudf.cli.face_pretrain [--steps 3000] [--embed_steps 2000]
+      [--out PATH] [--embed_out PATH] [--skip_landmarks] [--skip_embed]
 """
 
 from __future__ import annotations
@@ -16,26 +19,47 @@ import os
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="pretrain face landmark net")
-    p.add_argument("--steps", type=int, default=3000)
+    p = argparse.ArgumentParser(description="pretrain face nets")
+    p.add_argument("--steps", type=int, default=3000,
+                   help="landmark-net pretraining steps")
+    p.add_argument("--embed_steps", type=int, default=2000,
+                   help="identity-embedding contrastive steps")
+    p.add_argument("--embed_ids", type=int, default=256,
+                   help="identity pool size for the contrastive net")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None,
-                   help="output .npz (default: the serve-time cache path)")
+                   help="landmark .npz (default: the serve-time cache path)")
+    p.add_argument("--embed_out", default=None,
+                   help="identity-embed .npz (default: serve-time cache)")
+    p.add_argument("--skip_landmarks", action="store_true")
+    p.add_argument("--skip_embed", action="store_true")
     args = p.parse_args(argv)
 
-    from tpudf.models.face_landmark import (save_landmark_net,
-                                            train_landmark_net)
-    from tpudf.serve.face import _DEFAULT_CACHE
+    if not args.skip_landmarks:
+        from tpudf.models.face_landmark import (save_landmark_net,
+                                                train_landmark_net)
+        from tpudf.serve.face import _DEFAULT_CACHE
+        params = train_landmark_net(steps=args.steps, batch=args.batch,
+                                    size=args.size, seed=args.seed,
+                                    log_every=max(1, args.steps // 10))
+        out = args.out or _DEFAULT_CACHE
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        save_landmark_net(params, out)
+        print(f"[face_pretrain] landmarks saved → {out}")
 
-    params = train_landmark_net(steps=args.steps, batch=args.batch,
-                                size=args.size, seed=args.seed,
-                                log_every=max(1, args.steps // 10))
-    out = args.out or _DEFAULT_CACHE
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    save_landmark_net(params, out)
-    print(f"[face_pretrain] saved → {out}")
+    if not args.skip_embed:
+        from tpudf.models.face_embed import (save_face_embed,
+                                             train_face_embed)
+        from tpudf.serve.face import _EMBED_CACHE
+        params = train_face_embed(steps=args.embed_steps,
+                                  n_ids=args.embed_ids, seed=args.seed,
+                                  log_every=max(1, args.embed_steps // 10))
+        out = args.embed_out or _EMBED_CACHE
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        save_face_embed(params, out)
+        print(f"[face_pretrain] identity embed saved → {out}")
 
 
 if __name__ == "__main__":

@@ -186,6 +186,39 @@ def load_sid_set(split="train", subset: str | None = None, streaming=False):
 SID_LABELS = ("real", "fully_synthetic", "tampered")
 
 
+def _sid_decode_image(obj):
+    """PIL image from an HF example field, tolerating the live dataset's
+    encodings: PIL (decoded features), {bytes|path} dicts (streaming /
+    undecoded Image features), raw arrays."""
+    from PIL import Image
+    if isinstance(obj, Image.Image):
+        return obj
+    if isinstance(obj, dict):
+        if obj.get("bytes"):
+            import io
+            return Image.open(io.BytesIO(obj["bytes"]))
+        if obj.get("path"):
+            return Image.open(obj["path"])
+        raise ValueError(f"undecodable image dict keys={sorted(obj)}")
+    return Image.fromarray(np.asarray(obj))
+
+
+def sid_label_to_index(lab) -> int:
+    """Reference label semantics (siglip2siddataset.py:871-882): ints pass
+    through; strings map real→0 / fully_synthetic→1 / ANYTHING ELSE→2
+    (the reference's final `else` branch treats every other string as
+    tampered). Common spelling variants are normalized first so live
+    schema drift ("full_synthetic", case) doesn't silently relabel."""
+    if not isinstance(lab, str):
+        return int(lab)
+    s = lab.strip().lower()
+    if s == "real":
+        return 0
+    if s in ("fully_synthetic", "full_synthetic", "synthetic"):
+        return 1
+    return 2
+
+
 def sid_example_to_arrays(ex, image_size: int) -> dict:
     """One SID_Set example → {pixels uint8 (S,S,3), cls int, binary float,
     mask float32 (S,S), has_mask bool} with the reference's label mapping
@@ -194,27 +227,34 @@ def sid_example_to_arrays(ex, image_size: int) -> dict:
         1=fully_synthetic / 2=tampered → binary 1 (:871-882)
       * 3-channel masks take channel 0, binarize at >127, NEAREST-resize to
         the image size (:889-897)
-      * has_mask is true whenever a mask is present (:902)."""
+      * has_mask is true whenever a mask is present (:902)
+    Hardened for the live dataset's schema variants (r3 verdict item 9):
+    string labels with spelling/case drift, PIL / {bytes,path} / array
+    mask encodings, 0-1-valued float masks, undecodable masks → zero mask
+    (the reference's ValueError fallback, :901-907)."""
     from PIL import Image
-    img = ex["image"]
-    if not isinstance(img, Image.Image):
-        img = Image.fromarray(np.asarray(img))
+    img = _sid_decode_image(ex["image"])
     img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
-    lab = ex["label"]
-    label = SID_LABELS.index(lab) if isinstance(lab, str) else int(lab)
+    label = sid_label_to_index(ex["label"])
     mask = ex.get("mask")
+    has_mask = False
     if mask is not None:
-        m = np.asarray(mask)
-        if m.ndim == 3:
-            m = m[..., 0]
-        m = (m > 127).astype(np.uint8)
-        m = Image.fromarray(m).resize((image_size, image_size),
-                                      Image.NEAREST)
-        mask = np.asarray(m, np.float32)
-        has_mask = True
-    else:
+        try:
+            m = np.asarray(_sid_decode_image(mask))
+            if m.ndim == 3:
+                m = m[..., 0]
+            # value-range-aware binarize: PNG masks are 0-255 (>127, the
+            # reference threshold), float/bool masks arrive 0-1
+            thr = 127 if m.max(initial=0) > 1 else 0.5
+            m = (m > thr).astype(np.uint8)
+            m = Image.fromarray(m).resize((image_size, image_size),
+                                          Image.NEAREST)
+            mask = np.asarray(m, np.float32)
+            has_mask = True
+        except Exception:
+            mask = None          # undecodable → zero mask, has_mask False
+    if mask is None:
         mask = np.zeros((image_size, image_size), np.float32)
-        has_mask = False
     return {"pixels": np.asarray(img, np.uint8), "cls": label,
             "binary": float(label > 0), "mask": mask,
             "has_mask": has_mask}

@@ -86,6 +86,76 @@ def get_landmark_params(allow_train: bool | None = None):
     return _remember(params)
 
 
+_EMBED_CACHE = os.path.expanduser("~/.cache/tpudf/face_embed.npz")
+_EMBED_ASSET = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "face_embed.npz")
+_EMBED_MEMO = {}
+
+# identity-drift → score mapping, calibrated on the synthetic fixtures
+# (scripts/calibrate_face_embed.py): same-identity clips with a mid-clip
+# relight land below lo; mid-clip identity swaps land ~span above it
+ID_DRIFT_LO, ID_DRIFT_SPAN = 0.15, 0.25
+
+
+def get_face_embed_params(allow_train: bool | None = None):
+    """Load (or lazily pretrain + cache) the face IDENTITY embedding net
+    (models/face_embed.py — the ArcFace-metric analogue, r3 verdict item
+    4). Resolution order mirrors get_landmark_params:
+    $TPUDF_FACE_EMBED_CKPT → ~/.cache/tpudf/face_embed.npz → the packaged
+    asset → (if allowed) synthetic contrastive pretraining → None (callers
+    fall back to tower embeddings). $TPUDF_FACE_ID_EMBED=0 disables the
+    identity net entirely (A/B against the tower substitute)."""
+    if os.environ.get("TPUDF_FACE_ID_EMBED", "") == "0":
+        return None
+    from tpudf.models.face_embed import (load_face_embed, save_face_embed,
+                                         train_face_embed)
+    memo_key = (os.environ.get("TPUDF_FACE_EMBED_CKPT", ""),)
+    if memo_key in _EMBED_MEMO:
+        return _EMBED_MEMO[memo_key]
+
+    def _remember(params):
+        if params is not None:
+            _EMBED_MEMO[memo_key] = params
+        return params
+    path = os.environ.get("TPUDF_FACE_EMBED_CKPT", "")
+    if path and os.path.exists(path):
+        return _remember(load_face_embed(path))
+    if os.path.exists(_EMBED_CACHE):
+        try:
+            return _remember(load_face_embed(_EMBED_CACHE))
+        except ValueError:
+            os.remove(_EMBED_CACHE)
+    if os.path.exists(_EMBED_ASSET):
+        try:
+            return _remember(load_face_embed(_EMBED_ASSET))
+        except ValueError:
+            pass
+    if allow_train is None:
+        allow_train = os.environ.get("TPUDF_FACE_TRAIN", "") == "1"
+    if not allow_train:
+        return None
+    params = train_face_embed(steps=int(os.environ.get(
+        "TPUDF_FACE_TRAIN_STEPS", "2000")))
+    os.makedirs(os.path.dirname(_EMBED_CACHE), exist_ok=True)
+    save_face_embed(params, _EMBED_CACHE)
+    return _remember(params)
+
+
+def identity_embed_crops(embed_params, crops_uint8):
+    """(N, S, S, 3) uint8 aligned crops → (N, 128) L2-normalized identity
+    embeddings (one jitted batch call, resized to the net's 64px input)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpudf.models.face_embed import CROP_SIZE, face_embed_forward
+
+    x = jnp.asarray(np.asarray(crops_uint8), jnp.float32) / 255.0
+    if x.shape[1] != CROP_SIZE:
+        x = jax.image.resize(
+            x, (x.shape[0], CROP_SIZE, CROP_SIZE, 3), "bilinear")
+    return np.asarray(face_embed_forward(embed_params, x))
+
+
 def detect_landmarks_batch(frames_rgb_uint8, lm_params, *,
                            presence_thresh=0.0):
     """(T, H, W, 3) uint8 → (landmarks (T,5,2) in image pixels or None per
@@ -345,21 +415,36 @@ def face_temporal_signals(frames_rgb_uint8, embed_fn=None, lm_params=None,
     topology = (_drift_map(topo_vecs, 0.03, 0.12)
                 if len(topo_vecs) >= 3 else None)
 
-    # one embedding pass over the dominant-face crop track
+    # one embedding pass over the dominant-face crop track. Primary path:
+    # the contrastive identity net (models/face_embed.py, the ArcFace
+    # analogue — relight-invariant, swap-sensitive); fallback: tower
+    # embeddings via embed_fn (the pre-r4 substitute).
     emb_drift = None
-    if len(crops) >= 3 and embed_fn is not None:
-        emb = np.asarray(embed_fn(np.stack(crops)))
-        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-6)
-        emb_drift = 1.0 - float(np.mean(np.sum(emb[:-1] * emb[1:], axis=1)))
+    emb_score = track_emb_score = None
+    id_params = get_face_embed_params()
+    if len(crops) >= 3:
+        if id_params is not None:
+            emb = identity_embed_crops(id_params, np.stack(crops))
+            emb_drift = 1.0 - float(np.mean(
+                np.sum(emb[:-1] * emb[1:], axis=1)))
+            emb_score = float(np.clip(
+                (emb_drift - ID_DRIFT_LO) / ID_DRIFT_SPAN, 0.0, 1.0))
+            track_emb_score = emb_score
+        elif embed_fn is not None:
+            emb = np.asarray(embed_fn(np.stack(crops)))
+            emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-6)
+            emb_drift = 1.0 - float(np.mean(
+                np.sum(emb[:-1] * emb[1:], axis=1)))
+            emb_score = float(np.clip((emb_drift - 0.05) / 0.40, 0.0, 1.0))
+            track_emb_score = float(np.clip((emb_drift - 0.04) / 0.20,
+                                            0.0, 1.0))
 
-    embedding = (float(np.clip((emb_drift - 0.05) / 0.40, 0.0, 1.0))
-                 if emb_drift is not None else None)
+    embedding = emb_score
 
     # track drift: 0.6 x embedding stream + 0.4 x geometry stream
     scores = []
-    if emb_drift is not None:
-        scores.append((float(np.clip((emb_drift - 0.04) / 0.20, 0.0, 1.0)),
-                       0.6))
+    if track_emb_score is not None:
+        scores.append((track_emb_score, 0.6))
     if len(geom) >= 3:
         scores.append((_drift_map(geom, 0.03, 0.12), 0.4))
     track = (float(sum(v * w for v, w in scores)

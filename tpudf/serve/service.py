@@ -38,6 +38,9 @@ class DetectService:
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "images": 0,
                       "total_latency_s": 0.0, "max_latency_s": 0.0}
+        # recent per-request latencies for percentile SLOs (bounded window)
+        from collections import deque
+        self._latencies = deque(maxlen=8192)
         self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -125,6 +128,7 @@ class DetectService:
                         self.stats["total_latency_s"] += lat
                         self.stats["max_latency_s"] = max(
                             self.stats["max_latency_s"], lat)
+                        self._latencies.append(lat)
                     p.event.set()
             except Exception as e:          # pragma: no cover
                 for p in group:
@@ -161,7 +165,12 @@ class DetectService:
     def snapshot_stats(self) -> dict:
         with self._lock:
             s = dict(self.stats)
+            lats = sorted(self._latencies)
         if s["requests"]:
             s["mean_latency_s"] = s["total_latency_s"] / s["requests"]
             s["mean_batch_size"] = s["images"] / max(s["batches"], 1)
+        if lats:
+            s["p50_latency_s"] = lats[len(lats) // 2]
+            s["p99_latency_s"] = lats[min(len(lats) - 1,
+                                          int(len(lats) * 0.99))]
         return s
