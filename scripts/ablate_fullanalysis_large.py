@@ -69,34 +69,39 @@ def main():
             jnp.rot90(patches, k=1, axes=(2, 3)), x[:, None]], axis=1)
         return views.reshape(-1, s, s, 3)
 
-    views = jax.jit(build_views)(pixels)
-
-    def tower_only(v):
-        feats = siglip_forward(backbone, normalize_siglip(v), cfg,
+    # rows rebuild views ON DEVICE from the (B,S,S,3) input — shipping a
+    # prebuilt (848,384,384,3) views array through the tunnel breaks the
+    # remote runtime; subtract the views_only row to isolate components
+    # params ride as ARGUMENTS (closure constants embed ~300MB of weights
+    # into the serialized HLO and blow the remote-compile payload cap)
+    def tower_only(bb, hd, px):
+        v = build_views(px)
+        feats = siglip_forward(bb, normalize_siglip(v), cfg,
                                DEFAULT_POLICY, tome_r=DEPLOYED_TOME_R,
                                tome_floor=floor)["pooled"]
-        return apply_binary_head(head, feats)
+        return jnp.sum(apply_binary_head(hd, feats))
 
-    fviews = views[:B * 34]
-
-    def freq_only(v):
-        return apply_freq_mlp(freq, extract_freq_vector(_freq_gray(v)))
+    def freq_only(fq, px):
+        v = build_views(px)[:px.shape[0] * 34]
+        return jnp.sum(apply_freq_mlp(
+            fq, extract_freq_vector(_freq_gray(v))))
 
     full = functools.partial(_detect_batch, cfg=cfg, policy=DEFAULT_POLICY,
                              cuts=cuts, tome_r=DEPLOYED_TOME_R,
                              tome_floor=floor)
     rows = [
-        ("full53", lambda px: sum(
+        ("full53", lambda bb, hd, fq, fu, px: sum(
             jnp.sum(v.astype(jnp.float32)) for v in
-            full(backbone, head, freq, fusion, px).values()), pixels),
-        ("views_only", lambda px: jnp.sum(build_views(px)), pixels),
-        ("tower53", tower_only, views),
-        ("freq34", freq_only, fviews),
+            full(bb, hd, fq, fu, px).values()),
+         (backbone, head, freq, fusion, pixels)),
+        ("views_only", lambda px: jnp.sum(build_views(px)), (pixels,)),
+        ("tower53", tower_only, (backbone, head, pixels)),
+        ("freq34", freq_only, (freq, pixels)),
     ]
     for name, fn, x in rows:
         # devtime (iters-chained inside one jit) — the slope harness's
         # long chains exceed the remote-compile size cap on this graph
-        dt = devtime(fn, x, iters=4, reps=3)
+        dt = devtime(fn, *x, iters=4, reps=3)
         print(f"{name:10s} {dt * 1e3:8.2f} ms  ({B / dt:6.1f} img/s)")
 
 

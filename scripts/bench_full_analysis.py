@@ -52,10 +52,16 @@ def main():
               * 255).astype(jnp.float32)
 
     floor = deployed_floor(cfg.grid * cfg.grid)
-    for name, r, fl in (("int8_exact", 0, 0),
-                        ("int8_tome64_f32", DEPLOYED_TOME_R, floor)):
+    from tpudf.ops.tome import (DEPLOYED_PATCH_TOME_R, deployed_patch_floor)
+    pfloor = deployed_patch_floor(cfg.grid * cfg.grid)
+    for name, r, fl, pr, pfl in (
+            ("int8_exact", 0, 0, 0, 0),
+            ("int8_tome64_f32", DEPLOYED_TOME_R, floor, 0, 0),
+            ("int8_tome_patchdeep", DEPLOYED_TOME_R, floor,
+             DEPLOYED_PATCH_TOME_R, pfloor)):
         fn = functools.partial(_detect_batch, cfg=cfg, policy=DEFAULT_POLICY,
-                               cuts=cuts, tome_r=r, tome_floor=fl)
+                               cuts=cuts, tome_r=r, tome_floor=fl,
+                               patch_tome_r=pr, patch_tome_floor=pfl)
         dt = devtime(fn, backbone, head, freq, fusion, pixels,
                      iters=4, reps=3)
         print(f"{name:14s} B={b}: {dt*1e3:8.2f} ms  "

@@ -52,6 +52,11 @@ def parse_args(argv=None):
                         "certified deployed schedule (incl. its S/8 token "
                         "floor); an explicit r keeps the conservative S/4 "
                         "floor unless --tome_floor is given.")
+    p.add_argument("--patch_tome", action="store_true",
+                   help="deeper ToMe schedule on the 32 patch-grid views "
+                        "of the full-analysis path (4x-upscaled tiles; "
+                        "+31%% full-analysis throughput at large-384, "
+                        "main path untouched — tests/test_patch_tome.py)")
     p.add_argument("--tome_floor", type=int, default=0,
                    help="minimum token count the ToMe schedule may merge "
                         "down to (0 = S/4 default; the deployed schedule "
@@ -172,10 +177,18 @@ def build_engine(args, calib_uint8=None):
         if not tome_floor:
             tome_floor = deployed_floor(
                 (cfg.image_size // cfg.patch_size) ** 2)
+    patch_r = patch_floor = 0
+    if getattr(args, "patch_tome", False):
+        from tpudf.ops.tome import (DEPLOYED_PATCH_TOME_R,
+                                    deployed_patch_floor)
+        patch_r = DEPLOYED_PATCH_TOME_R
+        patch_floor = deployed_patch_floor(
+            (cfg.image_size // cfg.patch_size) ** 2)
     eng = DetectEngine(cfg=cfg, backbone=backbone, head=head, freq=freq,
                        fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY,
                        bayes_calibration=bayes_cal, tome_r=tome_r or 0,
-                       tome_floor=tome_floor)
+                       tome_floor=tome_floor, patch_tome_r=patch_r,
+                       patch_tome_floor=patch_floor)
     if getattr(args, "int8", False):
         # calibrate activation scales on the actual inputs when available
         # (synthetic-noise amax need not bound real-image activations)

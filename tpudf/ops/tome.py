@@ -59,6 +59,19 @@ def deployed_floor(n_tokens: int) -> int:
     return max(8, n_tokens // DEPLOYED_TOME_FLOOR_DIV)
 
 
+# Patch-grid views of the full-analysis path (serve/engine._detect_batch):
+# each tile is a PATCH_GRID-fold linearly-upscaled crop, so its token
+# redundancy is ~grid^2 higher than a natural image's — the deployed patch
+# schedule merges twice as fast to a twice-deeper floor. Fidelity bounded
+# by tests/test_patch_tome.py (patch-signal agreement + end-task deltas).
+DEPLOYED_PATCH_TOME_R = 128
+DEPLOYED_PATCH_FLOOR_DIV = 16
+
+
+def deployed_patch_floor(n_tokens: int) -> int:
+    return max(8, n_tokens // DEPLOYED_PATCH_FLOOR_DIV)
+
+
 def merge_schedule(n_tokens: int, layers: int, r: int,
                    min_tokens: int = 64) -> tuple[int, ...]:
     """Per-gap merge counts: r tokens merged after each of the first

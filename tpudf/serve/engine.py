@@ -124,11 +124,18 @@ class DetectEngine:
     # (DEPLOYED_TOME_R, deployed_floor) schedule.
     tome_r: int = 0
     tome_floor: int = 0
+    # optional DEEPER ToMe schedule for the 32 patch-grid views of the
+    # full-analysis path only (upscaled low-information tiles — see
+    # _detect_batch); 0 = follow the main schedule
+    patch_tome_r: int = 0
+    patch_tome_floor: int = 0
 
     def __post_init__(self):
         self._detect = jax.jit(functools.partial(
             _detect_batch, cfg=self.cfg, policy=self.policy, cuts=self.cuts,
-            tome_r=self.tome_r, tome_floor=self.tome_floor))
+            tome_r=self.tome_r, tome_floor=self.tome_floor,
+            patch_tome_r=self.patch_tome_r,
+            patch_tome_floor=self.patch_tome_floor))
         self._detect_fast = jax.jit(functools.partial(
             _detect_batch_fast, cfg=self.cfg, policy=self.policy,
             cuts=self.cuts, tome_r=self.tome_r, tome_floor=self.tome_floor))
@@ -285,7 +292,15 @@ def _core_from_views(z_sig_v, z_freq_v, z_rot, weights, fusion, cuts):
 
 
 def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
-                  tome_r=0, tome_floor=0):
+                  tome_r=0, tome_floor=0, patch_tome_r=0,
+                  patch_tome_floor=0):
+    """53-view full analysis. patch_tome_r/patch_tome_floor: optional
+    DEEPER ToMe schedule for the 32 patch-grid views only — patch tiles
+    are PATCH_GRID^2-fold upscaled crops (4x linear upsampling at the
+    default grid), so their token redundancy is far higher than the main
+    views'; merging them harder buys back most of their 60% share of the
+    tower work at bounded patch-signal fidelity
+    (tests/test_patch_tome.py, scripts/bench_full_analysis.py)."""
     b, s, _, _ = pixels.shape
     x = pixels.astype(jnp.float32) / 255.0
 
@@ -294,46 +309,60 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
     crops_f, _ = make_multicrops(flip)
     patches = make_patch_grid(x, PATCH_GRID)            # (B, 16, S, S, 3)
 
-    views = jnp.concatenate([
+    main_views = jnp.concatenate([
         crops,                                  # 0..8
         rot90_view(x)[:, None],                 # 9
         crops_f,                                # 10..18
         rot90_view(flip)[:, None],              # 19
-        patches,                                # 20..35
-        jnp.rot90(patches, k=1, axes=(2, 3)),   # 36..51 patch rot dual views
-        x[:, None],                             # 52 full image (embed view)
+        x[:, None],                             # 20 full image (embed view)
     ], axis=1)
-    nv = views.shape[1]
-    views_flat = views.reshape(b * nv, s, s, 3)
-    feats = siglip_forward(backbone, normalize_siglip(views_flat), cfg,
-                           policy, tome_r=tome_r,
-                           tome_floor=tome_floor)["pooled"]
-    z_sig = apply_binary_head(head, feats).reshape(b, nv)
+    patch_views = jnp.concatenate([
+        patches,                                # 0..15
+        jnp.rot90(patches, k=1, axes=(2, 3)),   # 16..31 patch rot dual views
+    ], axis=1)
+    nm, np_ = main_views.shape[1], patch_views.shape[1]
+
+    def fwd(v, r, fl):
+        return siglip_forward(backbone, normalize_siglip(
+            v.reshape(-1, s, s, 3)), cfg, policy, tome_r=r,
+            tome_floor=fl)["pooled"]
+
+    if patch_tome_r or patch_tome_floor:
+        feats_main = fwd(main_views, tome_r, tome_floor)
+        feats_patch = fwd(patch_views, patch_tome_r or tome_r,
+                          patch_tome_floor or tome_floor)
+    else:
+        feats = fwd(jnp.concatenate([main_views, patch_views], axis=1),
+                    tome_r, tome_floor)
+        fr = feats.reshape(b, nm + np_, -1)
+        feats_main = fr[:, :nm].reshape(b * nm, -1)
+        feats_patch = fr[:, nm:].reshape(b * np_, -1)
+    z_main = apply_binary_head(head, feats_main).reshape(b, nm)
+    z_patchv = apply_binary_head(head, feats_patch).reshape(b, np_)
 
     # embedding-anomaly reference view: the plain full image's pooled
     # features, L2-normalized BEFORE the norm term exactly like
     # appv3.py:3497-3502 (f = f / ||f||, then L2 = ||f|| ≈ 1 → L2n ≈ 1/28);
     # the unnormalized norm would saturate min(1, l2/28) and inflate the
     # anomaly score (and GBDT feature 12) by ~0.58 vs the reference
-    embed_feat = feats.reshape(b, nv, -1)[:, 52].astype(jnp.float32)
+    embed_feat = feats_main.reshape(b, nm, -1)[:, 20].astype(jnp.float32)
     embed_feat = embed_feat / (
         jnp.linalg.norm(embed_feat, axis=-1, keepdims=True) + 1e-6)
     embed_l2 = jnp.linalg.norm(embed_feat, axis=-1)
 
     # frequency expert only on views whose freq logits are consumed —
-    # rot-dual views (9, 19, 36..51) and the embed view feed nothing here
-    freq_idx = list(range(0, 9)) + list(range(10, 19)) + list(range(20, 36))
-    fviews = views[:, jnp.asarray(freq_idx)].reshape(
-        b * len(freq_idx), s, s, 3)
+    # rot-dual views, the embed view and the patch rot duals feed nothing
+    fviews = jnp.concatenate([crops, crops_f, patches], axis=1).reshape(
+        b * 34, s, s, 3)
     fv = extract_freq_vector(_freq_gray(fviews))
-    z_freq_used = apply_freq_mlp(freq, fv).reshape(b, len(freq_idx))
+    z_freq_used = apply_freq_mlp(freq, fv).reshape(b, 34)
     zf_main = z_freq_used[:, 0:9]
     zf_tta = z_freq_used[:, 9:18]
     zf_patch = z_freq_used[:, 18:34]
 
-    main = _core_from_views(z_sig[:, 0:9], zf_main, z_sig[:, 9],
+    main = _core_from_views(z_main[:, 0:9], zf_main, z_main[:, 9],
                             weights, fusion, cuts)
-    tta = _core_from_views(z_sig[:, 10:19], zf_tta, z_sig[:, 19],
+    tta = _core_from_views(z_main[:, 10:19], zf_tta, z_main[:, 19],
                            weights, fusion, cuts)
 
     # TTA mean fusion (appv3.py:5204-5212)
@@ -343,8 +372,8 @@ def _detect_batch(backbone, head, freq, fusion, pixels, *, cfg, policy, cuts,
 
     # patch grid: single-view detect_core per tile with rot dual view
     # (appv3.py:3381-3462 via :3239-3247)
-    zp = z_sig[:, 20:36]
-    zp_rot = z_sig[:, 36:52]
+    zp = z_patchv[:, 0:16]
+    zp_rot = z_patchv[:, 16:32]
     vp = 0.6 * jax.nn.sigmoid(zp) + 0.4 * jax.nn.sigmoid(zp_rot)
     fp = jax.nn.sigmoid(zf_patch / FREQ_TEMP)
     if fusion is None:                      # MoE fallback (see _core_from_views)
