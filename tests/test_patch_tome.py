@@ -102,3 +102,27 @@ def test_patch_signals_stay_faithful(engines):
 
     # probabilities stay in the same regime (no wholesale drift)
     assert np.mean(np.abs(pa - pb)) < 0.15
+
+
+def test_deployed_combo_int8_patch_deep(engines):
+    """The full deployed serving combo — W8A8 int8 tower + main ToMe +
+    deep patch ToMe — keeps end-task separation via the patch channel."""
+    cfg = CONFIGS["test-64"]
+    ks = jax.random.split(jax.random.key(3), 4)
+    deep_q = DetectEngine(
+        cfg=cfg, backbone=init_siglip(ks[0], cfg),
+        head=init_binary_head(ks[1], cfg.width), freq=init_freq_mlp(ks[2]),
+        fusion=init_fusion_linear(ks[3]), cuts=CoralCutpoints.default(),
+        policy=F32_POLICY, tome_r=DEPLOYED_TOME_R,
+        tome_floor=deployed_floor(cfg.grid * cfg.grid),
+        patch_tome_r=DEPLOYED_PATCH_TOME_R,
+        patch_tome_floor=deployed_patch_floor(cfg.grid * cfg.grid))
+    px, labels = _images(8)
+    deep_q.quantize(px[:8])
+    out = deep_q.predict_batch(px)
+    exact, _ = engines
+    ref = exact.predict_batch(px)
+    from tpudf.eval.metrics import roc_auc
+    auc_q = roc_auc(labels, out["max_patch"])
+    auc_ref = roc_auc(labels, ref["max_patch"])
+    assert auc_q >= auc_ref - 0.08, (auc_q, auc_ref)

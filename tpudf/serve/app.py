@@ -266,6 +266,9 @@ def main(argv=None):
     p.add_argument("--tome_r", type=int, default=None, const=-1, nargs="?",
                    help="ToMe token merging (bare flag = certified "
                         "DEPLOYED_TOME_R)")
+    p.add_argument("--patch_tome", action="store_true",
+                   help="deeper ToMe on the 32 patch-grid views of the "
+                        "full analysis (tests/test_patch_tome.py)")
     args = p.parse_args(argv)
 
     try:
