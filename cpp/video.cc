@@ -8,8 +8,12 @@
 // scan (histogramming every stride-th frame from a 64x64 gray downscale)
 // and one for frame extraction, converting only the picked frames to
 // size x size RGB24 (SWS_AREA). The pick logic (primary scene + adaptive
-// indices) mirrors tpudf/data/video.py exactly so host fallback and native
-// path agree. Python binding: ctypes (tpudf/data/video_native.py).
+// indices) follows tpudf/data/video.py, with two deliberate approximations:
+// the scan histograms a 64x64 GRAY8 downscale (the Python fallback uses the
+// full-resolution luma), and stable_sort tie order can differ from
+// np.argsort — so clips with inter-frame differences right at cut_thresh
+// may pick different (equally valid) frames than the fallback. Python
+// binding: ctypes (tpudf/data/video_native.py).
 //
 // Exposed C API:
 //   tpudf_sample_video(path, max_samples, stride, cut_thresh, size,

@@ -121,13 +121,15 @@ def test_burst_arrivals_no_starvation(service):
     request — every request completes, the full request is not starved by
     the continuing fast stream, and the tail is bounded (percentile stats
     exposed by snapshot_stats)."""
-    rng = np.random.default_rng(2)
     n_burst = 3 * service.max_batch
     done = {}
     lock = threading.Lock()
 
     def fast_call(i):
-        px = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        # per-thread generator: np Generators are not thread-safe, and
+        # ~96 threads sharing one risks corrupted buffers (ADVICE r4)
+        px = np.random.default_rng(i).integers(0, 256, (32, 32, 3),
+                                               np.uint8)
         r = service.predict(px, fast=True, timeout=300)
         with lock:
             done[i] = r
@@ -141,7 +143,8 @@ def test_burst_arrivals_no_starvation(service):
     full_box = {}
 
     def full_call():
-        px = rng.integers(0, 256, (32, 32, 3), np.uint8)
+        px = np.random.default_rng(n_burst).integers(0, 256, (32, 32, 3),
+                                                     np.uint8)
         t0 = time.perf_counter()
         full_box["report"] = service.predict(px, fast=False, timeout=300)
         full_box["latency"] = time.perf_counter() - t0

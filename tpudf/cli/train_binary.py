@@ -119,21 +119,35 @@ def main(argv=None):
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     optimizer = make_optimizer(args.lr, args.weight_decay, args.warmup_steps,
                                steps_per_epoch * args.epochs)
-    step = jax.jit(make_binary_train_step(
-        cfg, optimizer, DEFAULT_POLICY, args.head,
-        ema_decay=args.ema_decay or None, mixup_alpha=args.mixup_alpha,
-        tome_r=tome_r, tome_floor=tome_floor))
     state = init_train_state(head, optimizer,
                              args.ema_decay if args.ema_decay else None)
     if args.resume and os.path.exists(args.resume):
         from tpudf.train.steps import TrainState
         restored = restore_train_state(args.resume, head, optimizer)
+        # reconcile the checkpoint's EMA shape with the CLI flag BEFORE the
+        # train step is built (its ema_decay is baked into the jit): a
+        # restored-EMA checkpoint without --ema_decay would otherwise crash
+        # at trace time, and --ema_decay on a no-EMA checkpoint would
+        # silently drop tracking (ADVICE r4)
+        has_ema = restored.get("ema") is not None
+        if has_ema and not args.ema_decay:
+            args.ema_decay = 0.999
+            print("[resume][warn] checkpoint tracks EMA but --ema_decay "
+                  "was not given — continuing EMA with decay 0.999")
+        elif not has_ema and args.ema_decay:
+            restored["ema"] = jax.tree.map(lambda x: x, restored["params"])
+            print("[resume][warn] --ema_decay given but checkpoint has no "
+                  "EMA slot — seeding EMA from the restored params")
         state = TrainState(params=restored["params"],
                            opt_state=restored["opt_state"],
                            ema=restored.get("ema"),
                            step=restored["step"])
         print(f"[resume] restored {args.resume} "
               f"(epoch {restored.get('epoch')})")
+    step = jax.jit(make_binary_train_step(
+        cfg, optimizer, DEFAULT_POLICY, args.head,
+        ema_decay=args.ema_decay or None, mixup_alpha=args.mixup_alpha,
+        tome_r=tome_r, tome_floor=tome_floor))
 
     from tpudf.models.heads import apply_binary_head, apply_fast_binary_head
     apply = apply_binary_head if args.head == "v5" else apply_fast_binary_head

@@ -214,9 +214,22 @@ def sid_label_to_index(lab) -> int:
     s = lab.strip().lower()
     if s == "real":
         return 0
-    if s in ("fully_synthetic", "full_synthetic", "synthetic"):
+    if s == "fully_synthetic":
+        return 1
+    if s in ("full_synthetic", "synthetic"):
+        # spelling variants observed as plausible live-schema drift; the
+        # reference's final else would call these tampered (2), so make
+        # the deviation VISIBLE once per variant rather than silent
+        if s not in _SID_VARIANTS_SEEN:
+            _SID_VARIANTS_SEEN.add(s)
+            print(f"[sid][warn] label spelling variant {lab!r} normalized "
+                  "to fully_synthetic (class 1); the reference's else-"
+                  "branch would have mapped it to tampered (2)")
         return 1
     return 2
+
+
+_SID_VARIANTS_SEEN: set = set()
 
 
 def sid_example_to_arrays(ex, image_size: int) -> dict:

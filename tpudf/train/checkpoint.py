@@ -47,14 +47,16 @@ def restore_train_state(path: str, params: Any, optimizer,
     (inference_ai_human_images.py:804-827). Returns the restored dict
     (keys params/opt_state/ema/step/epoch)."""
     from tpudf.train.steps import init_train_state
+    if not os.path.exists(path):         # genuine I/O problems surface
+        raise FileNotFoundError(path)    # directly, not as "cannot restore"
     err = None
     for d in ema_decays:
         template = init_train_state(params, optimizer, d)._asdict() \
             | {"epoch": 0}
         try:
             return restore_checkpoint(path, template)
-        except Exception as e:           # structure mismatch → next shape
-            err = e
+        except (ValueError, TypeError, KeyError) as e:
+            err = e                      # structure/shape mismatch → next
     raise ValueError(f"cannot restore train state from {path}") from err
 
 
