@@ -214,7 +214,7 @@ def test_host_sharded_sampler_partitions_exactly():
             recon = np.empty(gb, dtype=gb_idx.dtype)
             for p in range(P_):
                 assert len(orders[p][bi]) == gb // P_
-                recon[p::P_] = orders[p][bi]
+                recon[p * (gb // P_):(p + 1) * (gb // P_)] = orders[p][bi]
             np.testing.assert_array_equal(recon, gb_idx)
     # different epochs shuffle differently
     assert not np.array_equal(per_host[0].epoch_order(0),

@@ -8,9 +8,16 @@ multiply decode work and DCN traffic by the host count.
 
 Pieces:
   * HostShardedSampler — deterministic per-host index assignment (host p
-    of P takes global indices with i % P == p), epoch-seeded shuffling
-    identical on every host so the global permutation is coherent without
-    any coordination traffic.
+    of P takes the p-th CONTIGUOUS block of every global batch), epoch-
+    seeded shuffling identical on every host so the global permutation is
+    coherent without any coordination traffic. Blocks (not strides): with
+    the standard process-major device order,
+    jax.make_array_from_process_local_data lays host p's rows at global
+    positions [p*B/P, (p+1)*B/P) — contiguous assignment makes the
+    assembled global batch IDENTICAL in order to the single-process batch,
+    so trajectories match bit-for-bit even through order-sensitive ops
+    (per-position dropout masks, mixup pairings). Validated by the real
+    2-process run in tests/test_multiprocess.py.
   * global_batch_from_host_shards — assembles the global device array from
     each process's local shard via jax.make_array_from_process_local_data:
     no host ever materializes the global batch, and the transfer is purely
@@ -35,9 +42,10 @@ class HostShardedSampler:
     """Per-host slice of a global sample order.
 
     n: dataset size. Global order = seeded permutation (or arange), padded
-    by wrap-around to a multiple of (global_batch), then host p takes the
-    positions p, p+P, p+2P, ... of every global batch — i.e. each global
-    batch of size B is contributed as P contiguous local batches of B/P.
+    by wrap-around to a multiple of (global_batch), then host p takes rows
+    [p*B/P, (p+1)*B/P) of every global batch — the same rows
+    make_array_from_process_local_data will place at those global
+    positions (process-major device order).
     """
 
     def __init__(self, n: int, global_batch: int, *, shuffle=True, seed=0,
@@ -73,9 +81,10 @@ class HostShardedSampler:
     def local_batches(self, epoch: int):
         """Yield this host's index arrays, one per global batch."""
         order = self.epoch_order(epoch)
+        lb = self.local_batch
         for start in range(0, len(order), self.global_batch):
             gb = order[start:start + self.global_batch]
-            yield gb[self.p::self.np_]                # (local_batch,)
+            yield gb[self.p * lb:(self.p + 1) * lb]   # (local_batch,)
 
 
 def global_batch_from_host_shards(mesh: Mesh, local_batch: np.ndarray,
