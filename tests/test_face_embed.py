@@ -181,3 +181,37 @@ def test_save_load_roundtrip(tmp_path):
     loaded = load_face_embed(p)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_identity_dir_pool_and_training(tmp_path):
+    """The CERTIFICATION.md §2 real-weights upgrade path must be
+    executable: a folder of per-identity crops loads into the pool layout
+    and trains through the same contrastive recipe (CLI --identity_dir)."""
+    from PIL import Image
+
+    from tpudf.models.face_embed import load_crop_pool_from_dir
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "ids"
+    for ident in range(4):
+        d = root / f"person_{ident}"
+        d.mkdir(parents=True)
+        base = rng.random((64, 64, 3))
+        for v in range(3):
+            img = np.clip(base + 0.05 * rng.standard_normal((64, 64, 3)),
+                          0, 1)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                d / f"v{v}.png")
+    # an identity with a single image must be skipped, not crash
+    solo = root / "solo"
+    solo.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(solo / "a.png")
+
+    pool = load_crop_pool_from_dir(str(root))
+    assert pool.shape == (4, 3, 64, 64, 3)
+    assert pool.dtype == np.float32 and pool.max() <= 1.0
+
+    params = train_face_embed(steps=2, k_ids=8, pool=pool)
+    emb = np.asarray(face_embed_forward(params, jnp.asarray(pool[:, 0])))
+    assert emb.shape == (4, 128)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)

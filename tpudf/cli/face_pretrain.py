@@ -35,6 +35,11 @@ def main(argv=None):
                    help="identity-embed .npz (default: serve-time cache)")
     p.add_argument("--skip_landmarks", action="store_true")
     p.add_argument("--skip_embed", action="store_true")
+    p.add_argument("--identity_dir", default=None,
+                   help="train the identity embedding on REAL identities "
+                        "(one subdirectory of aligned face crops per "
+                        "identity) instead of the procedural generator — "
+                        "the docs/CERTIFICATION.md §2 upgrade path")
     args = p.parse_args(argv)
 
     if not args.skip_landmarks:
@@ -50,11 +55,18 @@ def main(argv=None):
         print(f"[face_pretrain] landmarks saved → {out}")
 
     if not args.skip_embed:
-        from tpudf.models.face_embed import (save_face_embed,
+        from tpudf.models.face_embed import (load_crop_pool_from_dir,
+                                             save_face_embed,
                                              train_face_embed)
         from tpudf.serve.face import _EMBED_CACHE
+        pool = None
+        if args.identity_dir:
+            pool = load_crop_pool_from_dir(args.identity_dir)
+            print(f"[face_pretrain] real-identity pool: "
+                  f"{pool.shape[0]} ids x {pool.shape[1]} views")
         params = train_face_embed(steps=args.embed_steps,
                                   n_ids=args.embed_ids, seed=args.seed,
+                                  pool=pool,
                                   log_every=max(1, args.embed_steps // 10))
         out = args.embed_out or _EMBED_CACHE
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

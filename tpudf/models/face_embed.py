@@ -105,6 +105,47 @@ def render_crop_pool(rng, n_ids: int, views: int, size: int = CROP_SIZE):
     return pool
 
 
+def load_crop_pool_from_dir(path, size: int = CROP_SIZE,
+                            max_ids: int | None = None,
+                            max_views: int | None = None):
+    """Build the contrastive pool from REAL identities on disk —
+    ``path/<identity>/<image>`` with >=2 aligned face crops per identity
+    (docs/CERTIFICATION.md §2 weights-upgrade recipe). Returns
+    (n_ids, views, S, S, 3) float32 in [0,1]; views = the smallest
+    per-identity image count so the pool is rectangular (identities with
+    fewer than 2 images are skipped)."""
+    import os
+
+    from PIL import Image
+
+    ids = sorted(d for d in os.listdir(path)
+                 if os.path.isdir(os.path.join(path, d)))
+    if max_ids:
+        ids = ids[:max_ids]
+    per_id = []
+    for d in ids:
+        files = sorted(
+            f for f in os.listdir(os.path.join(path, d))
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp")))
+        if len(files) >= 2:
+            per_id.append((d, files))
+    if len(per_id) < 2:
+        raise ValueError(
+            f"{path}: need >=2 identities with >=2 images each, "
+            f"found {len(per_id)}")
+    views = min(len(f) for _, f in per_id)
+    if max_views:
+        views = min(views, max_views)
+    pool = np.zeros((len(per_id), views, size, size, 3), np.float32)
+    for i, (d, files) in enumerate(per_id):
+        for v in range(views):
+            img = Image.open(os.path.join(path, d, files[v])).convert("RGB")
+            pool[i, v] = np.asarray(
+                img.resize((size, size), Image.BILINEAR),
+                np.float32) / 255.0
+    return pool
+
+
 def make_pair_batch(rng, k_ids: int, size: int = CROP_SIZE, pool=None):
     """(2K, size, size, 3) aligned crops: rows [0..K) and [K..2K) are two
     photometrically-augmented views of the same K identities."""
@@ -132,10 +173,14 @@ def nt_xent_loss(emb, temperature=0.1):
 
 
 def train_face_embed(key=None, *, steps=2000, k_ids=32, n_ids=256,
-                     pool_views=6, lr=1e-3, seed=0, log_every=0):
-    """Contrastive pretraining on procedural identities. Deterministic for
-    a seed; a few minutes on CPU at the default budget (the identity pool
-    renders once up front, the step loop is photometric-aug + conv only)."""
+                     pool_views=6, lr=1e-3, seed=0, log_every=0,
+                     pool=None):
+    """Contrastive pretraining on procedural identities (default) or on a
+    caller-supplied (n_ids, views, S, S, 3) crop pool — e.g. real
+    identities via load_crop_pool_from_dir, the CERTIFICATION.md §2
+    upgrade path. Deterministic for a seed; a few minutes on CPU at the
+    default budget (the identity pool renders once up front, the step
+    loop is photometric-aug + conv only)."""
     import optax
 
     key = key if key is not None else jax.random.key(seed)
@@ -143,7 +188,9 @@ def train_face_embed(key=None, *, steps=2000, k_ids=32, n_ids=256,
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
     state = opt.init(params)
     rng = np.random.default_rng(seed)
-    pool = render_crop_pool(rng, n_ids, pool_views)
+    if pool is None:
+        pool = render_crop_pool(rng, n_ids, pool_views)
+    k_ids = min(k_ids, pool.shape[0])
 
     @jax.jit
     def step(params, state, batch):

@@ -13,8 +13,12 @@ Signals (appv3.py:3557-3755 family):
     (landmark path) or box aspect/position/size drift (Haar fallback)
   * face_track_drift — 0.6 x embedding drift + 0.4 x geometry drift over
     the dominant face track
-  * face_embedding_drift — tower-embedding drift over landmark-aligned
-    (or Haar) face crops, the ArcFace-drift substitute
+  * face_embedding_drift — identity-embedding drift over landmark-aligned
+    (or Haar) face crops. The embedding net (models/face_embed.py) is
+    contrastively PRETRAINED ON PROCEDURAL IDENTITIES (zero egress), not
+    ArcFace-grade: its swap-vs-relight margin is measured on the
+    procedural distribution; photographic transfer is unvalidated. Real-
+    weights upgrade recipe: docs/CERTIFICATION.md §2 (--identity_dir).
   * face_region_retouch_score — perlin + HF-flatness of the face crop
     (appv3.py:2496-2503)
 All signal functions take an optional `lm_params` (the landmark net's
@@ -470,7 +474,9 @@ def face_track_drift(frames_rgb_uint8, embed_fn, lm_params=None):
 
 
 def face_embedding_drift(frames_rgb_uint8, embed_fn, lm_params=None):
-    """Face-crop embedding drift (ArcFace-drift substitute); see
+    """Face-crop identity-embedding drift (procedurally-pretrained
+    stand-in for the reference's ArcFace drift — NOT ArcFace-grade; see
+    module docstring + docs/CERTIFICATION.md §2); see
     face_temporal_signals."""
     return face_temporal_signals(
         frames_rgb_uint8, embed_fn, lm_params)["face_embedding_drift"]
