@@ -5,7 +5,7 @@ inference — the full fused expert path as deployed: statically-quantized
 W8A8 ViT tower (calibrated PTQ, ops/quant.py, running the fused int8
 Pallas block kernels) with ToMe token merging at the certified deployed
 schedule (ops/tome.py DEPLOYED_TOME_R + deployed_floor, token counts
-256→192→128→64→32) + v5 binary head + 24-d FFT/SRM
+256→160→80→40→32) + v5 binary head + 24-d FFT/SRM
 frequency expert + fusion + CORAL — i.e. the batched equivalent of the
 reference's per-image detect_core (appv3.py:3214). int8- and ToMe-vs-float
 accuracy is validated by end-task AUC-delta tests

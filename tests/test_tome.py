@@ -73,9 +73,9 @@ def test_merge_schedule_floor():
 
 
 def test_deployed_floor_schedule():
-    """The deployed schedule (r=64, floor=S/8) reaches exactly 32 tokens at
-    base-256 geometry in four gaps: 256→192→128→64→32 (the measured
-    +22%-throughput point, ops/tome.py header)."""
+    """The deployed schedule (r=96, floor=S/8 — AUC-gated at real geometry,
+    ops/tome.py header) reaches exactly 32 tokens at base-256 geometry in
+    four gaps: 256→160→80→40→32."""
     from tpudf.ops.tome import DEPLOYED_TOME_R, deployed_floor
 
     floor = deployed_floor(256)
@@ -85,7 +85,7 @@ def test_deployed_floor_schedule():
     for r in sched:
         t -= r
         counts.append(t)
-    assert counts[:5] == [256, 192, 128, 64, 32]
+    assert counts[:5] == [256, 160, 80, 40, 32]
     assert min(counts) == 32
     assert deployed_floor(64) == 8      # test-geometry floor stays >= 8
 

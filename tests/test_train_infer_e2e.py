@@ -150,7 +150,7 @@ def test_int8_and_tome_preserve_end_task_auc(dataset, trained):
     # really merge tokens at this geometry (test-32's 4 tokens silently
     # made the old cert a no-op). With test-64's single merge gap the
     # half-per-gap clip (t//2 = 32) binds before the S/8 floor can; the
-    # exact deployed base-256 schedule 256→192→128→64→32 is pinned by
+    # exact deployed base-256 schedule 256→160→80→40→32 is pinned by
     # tests/test_tome.py::test_deployed_floor_schedule. Here we certify
     # end-task AUC at the maximum merge the geometry allows (half the
     # tokens in one gap — proportionally deeper than the deployed

@@ -34,21 +34,26 @@ import jax.numpy as jnp
 # cosine vs the exact bf16 full-token tower):
 #
 #     r=64  floor=64 (S/4): 12,780 img/s  cos 0.9971 mean / 0.9956 min
-#     r=64  floor=32 (S/8): 15,563 img/s  cos 0.9966 mean / 0.9948 min  <- deployed
-#     r=96  floor=32      : 17,580 img/s  cos 0.9945 mean / 0.9912 min
+#     r=64  floor=32 (S/8): 15,563 img/s  cos 0.9966 mean / 0.9948 min
+#     r=96  floor=32      : 17,580 img/s  cos 0.9945 mean / 0.9912 min  <- deployed (r5)
 #     r=128 floor=32      : 18,893 img/s  cos 0.9923 mean / 0.9883 min
 #
-# The deployed point (r=64 merged per gap, token floor = S/8) costs ~0.0005
-# pooled cosine vs the old S/4 floor for +22% tower throughput — the extra
-# gap's merge happens at S=64 where surviving tokens are already size-
-# weighted cluster centroids. End-task AUC is certified by
-# tests/test_train_infer_e2e.py (ToMe-only within 0.02 AUC of float,
-# int8+ToMe within 0.03; r=32 'conservative' with the legacy S/4 floor is
-# certified there too for accuracy-sensitive callers — cli/infer
-# --tome_r 32). The schedule clips per-geometry (never below the floor and
-# never more than half the tokens per gap), so the same constants are safe
-# at every image size.
-DEPLOYED_TOME_R = 64
+# r=96 was promoted from "parked on cosine" to deployed by an END-TASK
+# gate at REAL base-256 geometry (r4 verdict next #1/#5,
+# scripts/cert_geometry.py on the chip: random-init tower, frozen
+# features, procedural token-level discrimination, n_val=384, 2 seeds x 2
+# difficulty levels): worst-case |ΔAUC| vs float = 0.0073 — far inside
+# the 0.02 single-mode / 0.03 int8-combined gates — for both a
+# float-trained head (train/serve mismatched) and a matched-trained head.
+# r=128 measures within the gate too (worst 0.0050) but sits past the
+# cosine knee for only +7% more; parked. End-task AUC is also pinned at
+# toy geometry every CI run by tests/test_train_infer_e2e.py and at real
+# geometry by tests/test_deployed_geometry.py; r=32 'conservative' with
+# the legacy S/4 floor stays certified for accuracy-sensitive callers
+# (cli/infer --tome_r 32). The schedule clips per-geometry (never below
+# the floor and never more than half the tokens per gap), so the same
+# constants are safe at every image size.
+DEPLOYED_TOME_R = 96
 DEPLOYED_TOME_FLOOR_DIV = 8      # deployed token floor = n_tokens // 8
 CONSERVATIVE_TOME_R = 32
 
