@@ -401,3 +401,200 @@ def test_mtl_reference_torch_checkpoint_converts_via_cli(tmp_path):
     cfg = json.load(open(os.path.join(out, "config.json")))
     assert cfg["kind"] == "mtl" and cfg["backbone"]["width"] == 64
     assert os.path.isdir(os.path.join(out, "params"))
+
+
+# -------------------------------------------- optional-artifact rehearsal
+
+def _xgb_save_model_json(path):
+    """A genuine xgboost-2.x `Booster.save_model` JSON (the format
+    appv3.py:5507-5578 ships as xgb_fusion.json): learner /
+    gradient_booster / model / trees with split_indices, split_conditions
+    (leaf values in leaf rows), left/right_children (-1 at leaves), and
+    the string-typed model params xgboost writes. Two trees over the 19-d
+    fusion feature vector."""
+    trees = [
+        {   # root split on f0 (z_sig) at 0.0 → leaves -1.2 / +1.5
+            "base_weights": [0.0, -1.2, 1.5], "categories": [],
+            "categories_nodes": [], "categories_segments": [],
+            "categories_sizes": [],
+            "default_left": [0, 0, 0],
+            "left_children": [1, -1, -1], "right_children": [2, -1, -1],
+            "loss_changes": [10.0, 0.0, 0.0], "parents": [2147483647, 0, 0],
+            "split_conditions": [0.0, -1.2, 1.5],
+            "split_indices": [0, 0, 0], "split_type": [0, 0, 0],
+            "sum_hessian": [24.0, 12.0, 12.0],
+            "tree_param": {"num_deleted": "0", "num_feature": "19",
+                           "num_nodes": "3", "size_leaf_vector": "1"},
+        },
+        {   # f17 < 0.5 → leaf -0.4 ; else f2 < 1.0 → 0.3 / 0.9
+            "base_weights": [0.0, -0.4, 0.0, 0.3, 0.9], "categories": [],
+            "categories_nodes": [], "categories_segments": [],
+            "categories_sizes": [],
+            "default_left": [0, 0, 0, 0, 0],
+            "left_children": [1, -1, 3, -1, -1],
+            "right_children": [2, -1, 4, -1, -1],
+            "loss_changes": [8.0, 0.0, 4.0, 0.0, 0.0],
+            "parents": [2147483647, 0, 0, 2, 2],
+            "split_conditions": [0.5, -0.4, 1.0, 0.3, 0.9],
+            "split_indices": [17, 0, 2, 0, 0],
+            "split_type": [0, 0, 0, 0, 0],
+            "sum_hessian": [24.0, 10.0, 14.0, 7.0, 7.0],
+            "tree_param": {"num_deleted": "0", "num_feature": "19",
+                           "num_nodes": "5", "size_leaf_vector": "1"},
+        },
+    ]
+    model = {
+        "learner": {
+            "attributes": {},
+            "feature_names": [], "feature_types": [],
+            "gradient_booster": {
+                "model": {
+                    "gbtree_model_param": {"num_parallel_tree": "1",
+                                           "num_trees": "2"},
+                    "iteration_indptr": [0, 1, 2],
+                    "tree_info": [0, 0],
+                    "trees": trees,
+                },
+                "name": "gbtree",
+            },
+            "learner_model_param": {"base_score": "5E-1",
+                                    "boost_from_average": "1",
+                                    "num_class": "0", "num_feature": "19",
+                                    "num_target": "1"},
+            "objective": {"name": "binary:logistic",
+                          "reg_loss_param": {"scale_pos_weight": "1"}},
+        },
+        "version": [2, 0, 3],
+    }
+    with open(path, "w") as f:
+        json.dump(model, f)
+
+
+def _xgb_expected_margin(x):
+    """Host reference walk of the fixture trees (base_score 0.5 → margin 0)."""
+    out = np.zeros(len(x))
+    for i, row in enumerate(x):
+        t0 = -1.2 if row[0] < 0.0 else 1.5
+        if row[17] < 0.5:
+            t1 = -0.4
+        else:
+            t1 = 0.3 if row[2] < 1.0 else 0.9
+        out[i] = t0 + t1
+    return out
+
+
+def test_xgb_fixture_parses_and_matches_host_walk(tmp_path):
+    """TreeEnsemble.from_xgboost_json on the real save_model format +
+    platt.json, cross-checked against a host tree walk."""
+    from tpudf.models.fusion import TreeEnsemble
+    xgb_path = str(tmp_path / "xgb_fusion.json")
+    _xgb_save_model_json(xgb_path)
+    platt_path = str(tmp_path / "platt.json")
+    with open(platt_path, "w") as f:
+        json.dump({"a": 1.2, "b": -0.1}, f)
+    ens = TreeEnsemble.from_xgboost_json(xgb_path, platt_path)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 19)).astype(np.float32)
+    want = _xgb_expected_margin(x)
+    np.testing.assert_allclose(np.asarray(ens.margins(x)), want, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ens.predict_proba(x)),
+        1.0 / (1.0 + np.exp(-(1.2 * want - 0.1))), atol=1e-5)
+
+
+def test_xgb_platt_override_reaches_reports(trained_a, hf_ckpts, cifake_dir,
+                                            run_dir, artifacts_dir,
+                                            tmp_path, capsys):
+    """The reference's optional booster override (appv3.py:5576-5578):
+    when xgb_fusion.json + platt.json sit in the artifact dir, full
+    reports carry the booster's fusion probability."""
+    import shutil
+
+    from tpudf.cli.infer import main
+    art = str(tmp_path / "art_xgb")
+    shutil.copytree(artifacts_dir, art)
+    _xgb_save_model_json(os.path.join(art, "xgb_fusion.json"))
+    with open(os.path.join(art, "platt.json"), "w") as f:
+        json.dump({"a": 1.1, "b": 0.05}, f)
+
+    out_path = str(tmp_path / "xgb_reports.jsonl")
+    cmds = _cert_commands()
+    infer = _find(cmds, "tpudf.cli.infer")
+    argv = _adapt(infer, _subst(hf_ckpts, cifake_dir, run_dir), {
+        "--model_size": "test-64", "--batch_size": 16,
+        "--out": out_path, "--artifacts": art, "--seed": 0,
+    })
+    main(argv)
+    assert "booster attached" in capsys.readouterr().out
+    reports = [json.loads(x) for x in open(out_path)]
+    assert reports and all(r.get("xgb_fusion_prob") is not None
+                           for r in reports)
+    assert all(0.0 <= r["xgb_fusion_prob"] <= 1.0 for r in reports)
+
+
+def test_bayes_calibration_fit_load_roundtrip(tmp_path):
+    """bayes_calibration.json fit → dump → load → identical fused output
+    (the cli/infer artifact hook)."""
+    from tpudf.fuse.bayesian import (BayesCalibration, bayesian_fuse_v2,
+                                     fit_bayes_calibration)
+    rng = np.random.default_rng(0)
+    n = 200
+    y = (rng.random(n) > 0.5).astype(np.float64)
+    feats = {
+        "visual": np.clip(0.5 + 0.3 * (y - 0.5) + 0.2 * rng.standard_normal(n), 0, 1),
+        "freq": np.clip(0.5 + 0.2 * (y - 0.5) + 0.2 * rng.standard_normal(n), 0, 1),
+        "forensic": np.clip(rng.random(n), 0, 1),
+    }
+    for mode in ("isotonic", "logistic"):
+        cal = fit_bayes_calibration(feats, y, mode=mode)
+        p = str(tmp_path / f"bayes_calibration_{mode}.json")
+        with open(p, "w") as f:
+            json.dump(cal.to_json(), f)
+        with open(p) as f:
+            cal2 = BayesCalibration.from_json(json.load(f))
+        test_feats = {k: v[:16] for k, v in feats.items()}
+        a = bayesian_fuse_v2(test_feats, calibration=cal)
+        b = bayesian_fuse_v2(test_feats, calibration=cal2)
+        key = ("posterior_fake" if mode == "isotonic"
+               else "logistic_posterior")
+        np.testing.assert_allclose(
+            np.asarray(a[key]), np.asarray(b[key]), atol=1e-6)
+        # the calibrated fit must actually move/extend the output
+        c = bayesian_fuse_v2(test_feats)
+        if mode == "isotonic":
+            assert not np.allclose(np.asarray(a[key]), np.asarray(c[key]))
+        else:
+            assert key not in c
+
+
+@pytest.mark.parametrize("geometry", ["large-384", "so400m-512"])
+def test_infer_production_geometry_int8_tome(geometry, hf_ckpts, cifake_dir,
+                                             tmp_path, monkeypatch, capsys):
+    """§3(b) at the PRODUCTION backbone geometries (appv3.py:1223 ViT-L-384;
+    cifake MODEL_CONFIGS so400m-512): real width/heads/mlp/patch/image-size
+    through `cli/infer --int8 --tome_r` — only the layer count is scaled
+    down (2) so the CPU rehearsal stays tractable; the so400m row exercises
+    the 72-dim-head lane padding + 4304-wide MLP quantization path."""
+    import dataclasses
+
+    from tpudf.cli.infer import main
+    from tpudf.models import siglip as siglip_mod
+
+    real = siglip_mod.CONFIGS[geometry]
+    monkeypatch.setitem(siglip_mod.CONFIGS, geometry,
+                        dataclasses.replace(real, layers=2))
+    # 2 images per class keep the 512px CPU rehearsal under a minute
+    import shutil
+    inp = tmp_path / "imgs"
+    for cls in ("REAL", "FAKE"):
+        (inp / cls).mkdir(parents=True)
+        for i in range(2):
+            shutil.copy(os.path.join(cifake_dir, "test", cls, f"{i}.png"),
+                        inp / cls / f"{i}.png")
+    out_path = str(tmp_path / "reports.jsonl")
+    main(["--input", str(inp), "--out", out_path,
+          "--model_size", geometry, "--batch_size", "4", "--fast",
+          "--int8", "--tome_r", "--labels_from_dirs", "--seed", "0"])
+    reports = [json.loads(x) for x in open(out_path)]
+    assert len(reports) == 4
+    assert all(np.isfinite(r["final_prob"]) for r in reports)

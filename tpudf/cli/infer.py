@@ -168,6 +168,19 @@ def build_engine(args, calib_uint8=None):
         from tpudf.fuse.bayesian import BayesCalibration
         with open(bc_path) as f:
             bayes_cal = BayesCalibration.from_json(json.load(f))
+    gbdt = None
+    xgb_path = art and os.path.join(art, "xgb_fusion.json")
+    if xgb_path and os.path.exists(xgb_path):
+        # v6 booster override (appv3.py:5576-5578): when xgb_fusion.json
+        # (+ optional platt.json) ship with the artifacts, the 19-feature
+        # tree ensemble overrides the fusion probability in full reports
+        from tpudf.models.fusion import TreeEnsemble
+        platt_path = os.path.join(art, "platt.json")
+        gbdt = TreeEnsemble.from_xgboost_json(
+            xgb_path,
+            platt_path if os.path.exists(platt_path) else None)
+        print("[fusion] xgb_fusion.json booster attached "
+              f"(platt={'yes' if os.path.exists(platt_path) else 'no'})")
     tome_r = getattr(args, "tome_r", None)
     tome_floor = getattr(args, "tome_floor", 0) or 0
     if tome_r is not None and tome_r < 0:
@@ -186,6 +199,7 @@ def build_engine(args, calib_uint8=None):
             (cfg.image_size // cfg.patch_size) ** 2)
     eng = DetectEngine(cfg=cfg, backbone=backbone, head=head, freq=freq,
                        fusion=fusion, cuts=cuts, policy=DEFAULT_POLICY,
+                       gbdt=gbdt,
                        bayes_calibration=bayes_cal, tome_r=tome_r or 0,
                        tome_floor=tome_floor, patch_tome_r=patch_r,
                        patch_tome_floor=patch_floor)
