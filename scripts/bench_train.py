@@ -118,6 +118,53 @@ def main_binary():
             "img_per_s": round(b / dt, 1)}), flush=True)
 
 
+def main_attn_bwd():
+    """Pallas fused-QKV attention BACKWARD vs the XLA-recompute VJP on the
+    MTL top-3-unfrozen step (r4 verdict next #7 — deploy or park BY
+    MEASUREMENT). The flag is read at trace time, so each variant builds
+    its own step. Gradient parity: tests/test_attention.py."""
+    import os
+
+    from tpudf.core.precision import DEFAULT_POLICY
+    from tpudf.models.segformer import MTLConfig, init_mtl
+    from tpudf.models.siglip import CONFIGS, init_siglip
+    from tpudf.train.mtl import make_mtl_train_step
+
+    cfg = CONFIGS["base-256"]
+    b = 64
+    rng = np.random.default_rng(0)
+    mtl_cfg = MTLConfig(backbone=cfg, seg_layers=(0, 5, 11), embed_dim=256)
+    params = init_mtl(jax.random.key(0), mtl_cfg)
+    opt = optax.adamw(1e-4)
+    batch = {
+        "pixels": jnp.asarray(rng.random((b, 256, 256, 3), np.float32)),
+        "cls": jnp.asarray(rng.integers(0, 3, b), jnp.int32),
+        "mask": jnp.asarray((rng.random((b, 256, 256)) > 0.5)
+                            .astype(np.float32)),
+        "has_mask": jnp.asarray((np.arange(b) % 3 == 2)
+                                .astype(np.float32)),
+    }
+    for tag, flag in (("pallas_bwd", "1"), ("xla_recompute_bwd", "0")):
+        os.environ["TPUDF_PALLAS_ATTN_BWD"] = flag
+        init_fn, step = make_mtl_train_step(
+            mtl_cfg, opt, DEFAULT_POLICY, freeze_below=9,
+            seg_loss="bce_dice")
+        state = init_fn(params)
+
+        def stepper(s, bch, px):
+            st, metrics = step(s, {**bch, "pixels": px}, jax.random.key(1),
+                               1.0, 0.5)
+            return metrics
+        dt = devtime(stepper, state, batch, batch["pixels"], iters=5,
+                     reps=3)
+        print(json.dumps({
+            "metric": f"mtl_train_step_base256_top3_unfrozen_{tag}",
+            "batch": b, "ms": round(dt * 1e3, 1),
+            "img_per_s": round(b / dt, 1)}), flush=True)
+    os.environ.pop("TPUDF_PALLAS_ATTN_BWD", None)
+
+
 if __name__ == "__main__":
     main()
     main_binary()
+    main_attn_bwd()

@@ -132,6 +132,22 @@ def main():
         "decode_ms_per_video_cv2": round(dec_c / n * 1e3, 1),
         "device_ms_per_video": round(dev_n / n * 1e3, 1)}))
 
+    # ---- overlapped pipeline (what cli/infer --video actually runs): the
+    # next clip's native decode proceeds in a prefetch thread while the
+    # current clip occupies the chip (r4 verdict next #9). Repeat the clip
+    # list so steady-state overlap dominates the one-clip fill.
+    from tpudf.data.prefetch import prefetch
+    loop = paths * 3
+    t0 = time.perf_counter()
+    for p, frames in prefetch(
+            ((p, sample_video(p, size=256, prefer_native=True)[0])
+             for p in loop), depth=2):
+        predict_video(eng, frames)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "videos/sec end-to-end OVERLAPPED (decode ∥ device)",
+        "value": round(len(loop) / wall, 2)}))
+
 
 if __name__ == "__main__":
     main()

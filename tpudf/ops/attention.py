@@ -379,10 +379,15 @@ def _fused_qkv_with_vjp(heads: int, head_dim: int, scale: float,
         w = w3 // 3
         # Pallas bwd kernel when the (S,S) f32 tile + qkv rows fit VMEM and
         # lanes align; XLA-recompute VJP otherwise (so400m head_dim=72,
-        # very long sequences)
+        # very long sequences). TPUDF_PALLAS_ATTN_BWD=0 forces the XLA
+        # path — the A/B used by scripts/bench_train.py main_attn_bwd to
+        # keep the deploy-by-measurement record honest (read at trace
+        # time, so set it before the train step is built).
+        import os as _os
+        enabled = _os.environ.get("TPUDF_PALLAS_ATTN_BWD", "1") != "0"
         fits = s * s * 4 + 2 * s * w3 * 2 + s * w * 2 <= 12 * 1024 * 1024
         lane_ok = head_dim % 128 == 0 or 128 % head_dim == 0
-        if fits and lane_ok and s % 8 == 0 and w % 128 == 0:
+        if enabled and fits and lane_ok and s % 8 == 0 and w % 128 == 0:
             return (_attention_qkv_bwd_pallas(
                 qkv, g, heads, head_dim, scale, interpret=interpret),)
         _, vjp = jax.vjp(
