@@ -42,17 +42,49 @@ TAIL_SCALARS = ("bayes_cal_jpeg", "bayes_certainty", "bayes_posterior",
                 "xgb_prob")
 
 
-def _face_signals(engine, pixels_uint8):
-    """Face-crop expert escalation + retouch score (appv3.py:5429-5452):
-    for each image with a detected face covering >= 8% of the frame and at
-    least 96px on a side, run the FULL expert stack on the crop; all
-    qualifying crops go through one batched engine call. Returns
-    (face_p_fake, face_retouch) lists with None where no face qualifies."""
-    from tpudf.serve.face import face_crop, face_region_retouch_score
+@functools.lru_cache(maxsize=1)
+def _retouch_graph():
+    """Batched jitted face_region_retouch_score (appv3.py:2496-2503):
+    (N, 256, 256, 3) uint8 crops → (N,) scores. Same math as the scalar
+    serve/face.py version, launched un-fetched at dispatch time."""
+    from tpudf.ops.forensics import laplacian, perlin_diffusion_score
+
+    def fn(crops_uint8):
+        x = crops_uint8.astype(jnp.float32) / 255.0
+        perlin = perlin_diffusion_score(x)
+        w = jnp.asarray([0.299, 0.587, 0.114])
+        gray = jnp.einsum("bhwc,c->bhw", x, w) * 255.0
+        hf = jnp.var(laplacian(gray), axis=(1, 2))
+        hf_flat = jnp.clip(1.0 - hf / 200.0, 0.0, 1.0)
+        return 0.5 * perlin + 0.5 * hf_flat
+
+    return jax.jit(fn)
+
+
+def _pad_stack(rows, bucket_of):
+    """Stack same-shaped device arrays and zero-pad the leading dim to a
+    pow2 bucket (crop counts vary per batch; pow2 keeps compiles bounded)."""
+    n = len(rows)
+    stack = jnp.stack(rows)
+    pad = bucket_of - n
+    if pad:
+        stack = jnp.concatenate(
+            [stack, jnp.zeros((pad,) + stack.shape[1:], stack.dtype)])
+    return stack
+
+
+def _dispatch_face(engine, pixels_uint8):
+    """Face-crop expert escalation + retouch score (appv3.py:5429-5452),
+    dispatch phase: host Haar detection, then ALL device work — per-crop
+    bilinear resize, the batched retouch graph, and the full expert stack
+    on qualifying crops (face >= 8% of frame and >= 96px a side) — is
+    LAUNCHED UN-FETCHED so predict_images' single device_get covers the
+    face trio too (one host<->chip round trip per report batch; the
+    pre-r5 path paid several blocking fetches per detected face)."""
+    from tpudf.serve.face import face_crop
     b = pixels_uint8.shape[0]
-    p_fake = [None] * b
-    retouch = [None] * b
-    idx, crops = [], []
+    det_idx, esc_idx = [], []
+    retouch_crops, esc_crops = [], []
     s = int(pixels_uint8.shape[1])
     for i in range(b):
         img = pixels_uint8[i]
@@ -60,23 +92,41 @@ def _face_signals(engine, pixels_uint8):
         if c is None:
             continue
         fh, fw = c.shape[:2]
+        cj = jnp.asarray(c, jnp.float32)
+        # clip+uint8 cast matches the old host np.asarray(...).clip(0,255)
+        # .astype(np.uint8) exactly (both truncate), keeping report goldens
+        retouch_crops.append(jnp.clip(jax.image.resize(
+            cj, (256, 256, 3), "bilinear"), 0, 255).astype(jnp.uint8))
+        det_idx.append(i)
         area_ratio = (fh * fw) / float(img.shape[0] * img.shape[1])
-        retouch[i] = float(face_region_retouch_score(
-            np.asarray(jax.image.resize(jnp.asarray(c, jnp.float32),
-                                        (256, 256, 3), "bilinear"),
-                       np.float32).clip(0, 255).astype(np.uint8)))
         if area_ratio >= 0.08 and min(fh, fw) >= 96:
-            idx.append(i)
-            crops.append(np.asarray(jax.image.resize(
-                jnp.asarray(c, jnp.float32), (s, s, 3), "bilinear"),
-                np.float32).clip(0, 255).astype(np.uint8))
-    if idx:
-        # bucket-pad so the crop-escalation graph compiles at pow2 sizes
-        # only (crop count varies per batch, unlike the main batch dim)
-        face_core = engine.predict_batch(pad_to_bucket(np.stack(crops)))
-        raw = np.asarray(face_core["p_fake_raw"], np.float64)[:len(idx)]
-        for j, i in enumerate(idx):
-            p_fake[i] = float(raw[j])
+            esc_idx.append(i)
+            esc_crops.append(jnp.clip(jax.image.resize(
+                cj, (s, s, 3), "bilinear"), 0, 255).astype(jnp.uint8))
+    out = {"det_idx": det_idx, "esc_idx": esc_idx}
+    if det_idx:
+        bucket = 1 << (len(det_idx) - 1).bit_length()
+        out["retouch"] = _retouch_graph()(_pad_stack(retouch_crops, bucket))
+    if esc_idx:
+        bucket = 1 << (len(esc_idx) - 1).bit_length()
+        core = engine.dispatch_batch(_pad_stack(esc_crops, bucket))
+        out["esc_p"] = core[_PACK_KEY][:, FULL_SCALARS.index("p_fake_raw")]
+    return out
+
+
+def _face_signals_from_fetched(face, b):
+    """(face_p_fake, face_retouch) lists from the fetched _dispatch_face
+    payload."""
+    p_fake = [None] * b
+    retouch = [None] * b
+    if not face:
+        return p_fake, retouch
+    ret = np.asarray(face.get("retouch", ()), np.float64)
+    for j, i in enumerate(face["det_idx"]):
+        retouch[i] = float(ret[j])
+    esc = np.asarray(face.get("esc_p", ()), np.float64)
+    for j, i in enumerate(face["esc_idx"]):
+        p_fake[i] = float(esc[j])
     return p_fake, retouch
 
 
@@ -271,20 +321,26 @@ def dispatch_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     what the caller's warmup compiled) — predict_images slices every
     per-image array back to the true batch size, so callers see only
     their own images."""
+    orig = np.asarray(pixels_uint8)
     if pad_batch:
-        pixels_uint8 = pad_to_bucket(np.asarray(pixels_uint8), max_batch)
+        pixels_uint8 = pad_to_bucket(orig, max_batch)
     core = engine.dispatch_batch(pixels_uint8, fast=fast)   # un-fetched
     fn, names = _fusion_tail_for(engine, fast)
     packed, aux = fn(core, jnp.asarray(pixels_uint8))
-    return packed, aux, names
+    # face trio launches AFTER the main graph (host Haar detection runs
+    # while the chip is busy) and stays un-fetched until predict_images'
+    # single device_get
+    face = None if fast else _dispatch_face(engine, orig)
+    return packed, aux, names, face
 
 
 def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
                    decision: DecisionConfig = DEFAULT_DECISION,
                    fast: bool = False, _dispatched=None) -> list[dict]:
     """pixels_uint8: (B, S, S, 3) → list of per-image report dicts."""
-    packed, aux, names = (_dispatched if _dispatched is not None
-                          else dispatch_images(engine, pixels_uint8, fast))
+    packed, aux, names, face = (
+        _dispatched if _dispatched is not None
+        else dispatch_images(engine, pixels_uint8, fast))
     # ONE blocking device_get for everything dispatch launched (detect core
     # + forensic battery + render + all fusion math, packed into one
     # (B, K) array by the fusion tail) — per-leaf fetches and eager device
@@ -292,7 +348,7 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
     # latency through a remote runtime. Everything below is pure numpy.
     # Slice back to the true batch in case dispatch padded to a pow2 bucket.
     b = pixels_uint8.shape[0]
-    packed, aux = jax.device_get((packed, aux))
+    packed, aux, face = jax.device_get((packed, aux, face))
     packed = np.asarray(packed, np.float64)[:b]
     vals = {k: packed[:, i] for i, k in enumerate(names)}
     aux = {k: np.asarray(v)[:b] for k, v in aux.items()}
@@ -321,7 +377,7 @@ def predict_images(engine: DetectEngine, pixels_uint8: np.ndarray,
         face_p_fake = [None] * b
         face_retouch = [None] * b
     else:
-        face_p_fake, face_retouch = _face_signals(engine, pixels_uint8)
+        face_p_fake, face_retouch = _face_signals_from_fetched(face, b)
 
     gen = core["gen_likelihood"]
     # v3 forensic fusion (appv3.py:2934-2951 via :5455 forensic_v2)
