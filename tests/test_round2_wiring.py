@@ -162,10 +162,10 @@ def test_render_rule_flips_real_to_tampered():
 def test_face_escalation_flips_label(engine, monkeypatch):
     from tpudf.serve import report as report_mod
 
-    def fake_face_signals(eng, px):
-        b = px.shape[0]
+    def fake_face_signals(face, b):
         return [0.95] * b, [0.1] * b
-    monkeypatch.setattr(report_mod, "_face_signals", fake_face_signals)
+    monkeypatch.setattr(report_mod, "_face_signals_from_fetched",
+                        fake_face_signals)
     px = np.random.default_rng(6).integers(0, 256, (1, 32, 32, 3), np.uint8)
     r = predict_images(engine, px)[0]
     # face_p_fake 0.95 > 0.65 → FAKE override + p_final >= 0.95*0.9
@@ -178,9 +178,10 @@ def test_face_escalation_flips_label(engine, monkeypatch):
 def test_face_signals_no_face_is_none(engine, monkeypatch):
     from tpudf.serve import face as face_mod
     monkeypatch.setattr(face_mod, "detect_faces", lambda *a, **k: [])
-    from tpudf.serve.report import _face_signals
+    from tpudf.serve.report import (_dispatch_face,
+                                    _face_signals_from_fetched)
     px = np.random.default_rng(7).integers(0, 256, (2, 32, 32, 3), np.uint8)
-    p, retouch = _face_signals(engine, px)
+    p, retouch = _face_signals_from_fetched(_dispatch_face(engine, px), 2)
     assert p == [None, None] and retouch == [None, None]
 
 
@@ -189,10 +190,13 @@ def test_face_signals_runs_expert_stack(engine, monkeypatch):
     from tpudf.serve import face as face_mod
     monkeypatch.setattr(face_mod, "detect_faces",
                         lambda img, **k: [(64, 64, 128, 128)])
-    from tpudf.serve.report import _face_signals
+    from tpudf.serve.report import (_dispatch_face,
+                                    _face_signals_from_fetched)
     px = np.random.default_rng(8).integers(0, 256, (1, 256, 256, 3),
                                            np.uint8)
-    p, retouch = _face_signals(engine, px)
+    import jax
+    p, retouch = _face_signals_from_fetched(
+        jax.device_get(_dispatch_face(engine, px)), 1)
     assert p[0] is not None and 0.0 <= p[0] <= 1.0
     assert retouch[0] is not None and 0.0 <= retouch[0] <= 1.0
 
