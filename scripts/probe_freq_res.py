@@ -45,7 +45,9 @@ def gray_of(imgs_uint8):
 def downsample(gray, res):
     b, h, w = gray.shape
     f = h // res
-    return gray.reshape(b, res, f, res, f).mean((2, 4))
+    if res * f == h:                       # integer area pooling
+        return gray.reshape(b, res, f, res, f).mean((2, 4))
+    return jax.image.resize(gray, (b, res, res), "linear")
 
 
 def feats_at(gray, res):
@@ -83,7 +85,7 @@ def main():
 
     # ---- timing
     gray = jnp.asarray(rng.random((B, 256, 256), np.float32))
-    for res in (256, 192, 128):
+    for res in (256, 128, 64):
         def f(g):
             gg = g if res == 256 else downsample(g, res)
             return extract_freq_vector(gg)
@@ -94,7 +96,7 @@ def main():
     imgs, y = make_detect_batch(256, 256, seed=0, artifact_amp=0.06)
     g = gray_of(imgs)
     f256 = feats_at(g, 256)
-    for res in (192, 128):
+    for res in (128, 64):
         fr = feats_at(g, res)
         corr = [np.corrcoef(f256[:, d], fr[:, d])[0, 1] for d in range(24)]
         print(f"drift@{res}: per-dim corr min {np.min(corr):.3f} "
@@ -110,7 +112,7 @@ def main():
     params = train_freq(tr256, tr_y)
     auc_ref = auc_with(params, va256, va_y)
     print(f"freq-MLP AUC, 256-trained/256-eval: {auc_ref:.4f}")
-    for res in (192, 128):
+    for res in (128, 64):
         va_r = feats_at(gva, res)
         a_mis = auc_with(params, va_r, va_y)
         tr_r = feats_at(gtr, res)
