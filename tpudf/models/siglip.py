@@ -295,7 +295,22 @@ def _mha(x_q, x_kv, heads, in_w, in_b, out_w, out_b, *, policy,
 
 
 def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret,
-                 logit_bias=None):
+                 logit_bias=None, emit_sumsq=False):
+    """emit_sumsq=True → returns (out, (B, S) row sum-of-squares) for the
+    ToMe merge that follows (ops/tome.merge_step): the deployed FPP int8
+    path emits it from the fused MLP kernel's epilogue (free row norms —
+    the tile is already in VMEM); every other variant computes it
+    externally so callers see one interface."""
+    out = _block_apply_impl(x, bp, cfg, policy, interpret, logit_bias,
+                            emit_sumsq)
+    if emit_sumsq and not isinstance(out, tuple):
+        o32 = out.astype(jnp.float32)
+        out = (out, jnp.sum(o32 * o32, axis=-1))
+    return out
+
+
+def _block_apply_impl(x, bp, cfg: SigLIPConfig, policy: Policy, interpret,
+                      logit_bias=None, emit_sumsq=False):
     from tpudf.ops.quant import int8_matmul, is_quantized
     quant = is_quantized(bp)
     if not quant:
@@ -459,7 +474,7 @@ def _block_apply(x, bp, cfg: SigLIPConfig, policy: Policy, interpret,
             return mlp_block_fused_int8(
                 x, bp["ln2"], bp["mlp"],
                 {"fc1": sc["fc1"], "fc2": sc["fc2"]},
-                cfg.ln_eps, interpret=interpret)
+                cfg.ln_eps, interpret=interpret, emit_sumsq=emit_sumsq)
         hq = layer_norm_quant(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
                               sc["fc1"], cfg.ln_eps, interpret=interpret)
         h = gelu_tanh(int8_matmul_pre(hq, bp["mlp"]["fc1_w"], sc["fc1"])
@@ -574,9 +589,14 @@ def siglip_forward(params, pixels, cfg: SigLIPConfig,
         for i in range(cfg.layers):
             bp = cast(jax.tree.map(lambda a: a[i], blocks))
             lb = None if i == 0 else jnp.log(sizes)   # sizes all 1 at layer 0
-            x = _block_apply(x, bp, cfg, policy, interpret, lb)
-            if i < cfg.layers - 1 and sched[i] > 0:
-                x, sizes = merge_step(x, sizes, sched[i])
+            merging = i < cfg.layers - 1 and sched[i] > 0
+            out = _block_apply(x, bp, cfg, policy, interpret, lb,
+                               emit_sumsq=merging)
+            if merging:
+                x, sumsq = out
+                x, sizes = merge_step(x, sizes, sched[i], sumsq=sumsq)
+            else:
+                x = out
         tokens = layer_norm(x, params["post_ln"], cfg.ln_eps)
         out = {"tokens": tokens, "sizes": sizes}
         if cfg.with_head and "head" in params:

@@ -113,9 +113,24 @@ def _kernel_int8(x_ref, g_ref, b_ref, w1_ref, s1w_ref, b1_ref, w2_ref,
     o_ref[...] = (x32 + o).astype(o_ref.dtype)
 
 
+def _kernel_int8_ss(x_ref, g_ref, b_ref, w1_ref, s1w_ref, b1_ref, w2_ref,
+                    s2w_ref, b2_ref, a1_ref, a2_ref, o_ref, ss_ref, *, eps):
+    """_kernel_int8 + per-row sum-of-squares epilogue: the ToMe merge that
+    follows this sublayer needs row norms of the block output for its
+    cosine similarity (ops/tome.merge_step) — emitting them here while the
+    output tile is still in VMEM saves the merge's separate full-tensor
+    read. Computed from the bf16-CAST output (what the merge would read
+    back), so the value matches the external computation."""
+    _kernel_int8(x_ref, g_ref, b_ref, w1_ref, s1w_ref, b1_ref, w2_ref,
+                 s2w_ref, b2_ref, a1_ref, a2_ref, o_ref, eps=eps)
+    ob = o_ref[...].astype(jnp.float32)
+    ss = jnp.sum(ob * ob, axis=-1, keepdims=True)
+    ss_ref[...] = jnp.broadcast_to(ss, ss_ref.shape)
+
+
 def _mlp_block_pallas_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s,
                            b2, a1, a2, eps, *, block_rows=512,
-                           interpret=False):
+                           interpret=False, emit_sumsq=False):
     n, w = x2d.shape
     inter = w1q.shape[1]
     rows = min(block_rows, n)
@@ -131,8 +146,18 @@ def _mlp_block_pallas_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s,
     pad = (-n) % rows
     if pad:
         x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    if emit_sumsq:
+        out_specs = [pl.BlockSpec((rows, w), lambda i: (i, 0)),
+                     pl.BlockSpec((rows, 128), lambda i: (i, 0))]
+        out_shape = [jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+                     jax.ShapeDtypeStruct((n + pad, 128), jnp.float32)]
+        kernel = functools.partial(_kernel_int8_ss, eps=eps)
+    else:
+        out_specs = pl.BlockSpec((rows, w), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct(x2d.shape, x2d.dtype)
+        kernel = functools.partial(_kernel_int8, eps=eps)
     out = pl.pallas_call(
-        functools.partial(_kernel_int8, eps=eps),
+        kernel,
         grid=((n + pad) // rows,),
         in_specs=[
             pl.BlockSpec((rows, w), lambda i: (i, 0)),
@@ -147,14 +172,17 @@ def _mlp_block_pallas_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s,
             pl.BlockSpec((1,), lambda i: (0,)),
             pl.BlockSpec((1,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((rows, w), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x2d, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
       w1q, w1s.astype(jnp.float32), b1.astype(jnp.float32),
       w2q, w2s.astype(jnp.float32), b2.astype(jnp.float32),
       jnp.asarray(a1, jnp.float32).reshape(1),
       jnp.asarray(a2, jnp.float32).reshape(1))
+    if emit_sumsq:
+        o, ss = out
+        return (o[:n] if pad else o), ss[:n, 0]
     return out[:n] if pad else out
 
 
@@ -180,12 +208,18 @@ def _reference_int8(x2d, ln_scale, ln_bias, w1q, w1s, b1, w2q, w2s, b2,
 
 
 def mlp_block_fused_int8(x, ln_params, mlp_q, act_scales, eps=1e-6, *,
-                         interpret=False):
+                         interpret=False, emit_sumsq=False):
     """W8A8 MLP sublayer: (B, S, W) → (B, S, W).
 
     mlp_q: quantize_siglip per-layer slice ({fc1_w: {q, scale}, ...});
     act_scales: {"fc1": scalar, "fc2": scalar} static activation scales from
-    ops/quant.calibrate_siglip_act_scales. Inference-only (no vjp)."""
+    ops/quant.calibrate_siglip_act_scales. Inference-only (no vjp).
+
+    emit_sumsq=True additionally returns (B, S) per-row sum-of-squares of
+    the output — the row norms the following ToMe merge needs — computed
+    in the Pallas kernel's epilogue while the tile is in VMEM (saves the
+    merge's separate full-tensor read on TPU; the fallback computes the
+    identical value externally)."""
     w = x.shape[-1]
     inter = mlp_q["fc1_w"]["q"].shape[-1]
     try:
@@ -199,11 +233,19 @@ def mlp_block_fused_int8(x, ln_params, mlp_q, act_scales, eps=1e-6, *,
     aligned = w % 128 == 0 and inter % 128 == 0
     fits = w * inter * 2 <= 10 * 1024 * 1024          # both mats, int8
     if (on_tpu or interpret) and aligned and fits:
-        return _mlp_block_pallas_int8(
+        out = _mlp_block_pallas_int8(
             x.reshape(-1, w), *args, float(eps),
-            interpret=interpret).reshape(x.shape)
-    return _reference_int8(x.reshape(-1, w), *args, float(eps)
-                           ).reshape(x.shape)
+            interpret=interpret, emit_sumsq=emit_sumsq)
+        if emit_sumsq:
+            o, ss = out
+            return o.reshape(x.shape), ss.reshape(x.shape[:-1])
+        return out.reshape(x.shape)
+    out = _reference_int8(x.reshape(-1, w), *args, float(eps)
+                          ).reshape(x.shape)
+    if emit_sumsq:
+        o32 = out.astype(jnp.float32)
+        return out, jnp.sum(o32 * o32, axis=-1)
+    return out
 
 
 def mlp_block_fused(x, ln_params, mlp_params, eps=1e-6, *, interpret=False):

@@ -94,9 +94,14 @@ def merge_schedule(n_tokens: int, layers: int, r: int,
     return tuple(rs)
 
 
-def merge_step(x, sizes, r: int):
+def merge_step(x, sizes, r: int, sumsq=None):
     """One bipartite-soft-matching merge: (B, S, W), (B, S) → (B, S-r, W),
     (B, S-r).
+
+    sumsq: optional (B, S) per-row sum-of-squares of x — when the
+    preceding block's fused kernel emits it from its epilogue
+    (ops/mlp.mlp_block_fused_int8 emit_sumsq), the separate full-tensor
+    norm pass below is skipped.
 
     Tokens at even positions form set A, odd positions set B. Each A token
     is matched to its most similar B token (cosine over features); the r
@@ -120,8 +125,9 @@ def merge_step(x, sizes, r: int):
     # an argmax/top-k RANKING of cosine similarities except between pairs
     # that are equal-quality merge candidates anyway.
     x16 = x.astype(jnp.bfloat16)
-    inv = jax.lax.rsqrt(
-        jnp.sum(x.astype(f32) ** 2, axis=-1) + 1e-12)        # (B, S)
+    if sumsq is None:
+        sumsq = jnp.sum(x.astype(f32) ** 2, axis=-1)         # (B, S)
+    inv = jax.lax.rsqrt(sumsq.astype(f32) + 1e-12)
     na, nb = x16[:, 0::2], x16[:, 1::2]
     sim = jnp.einsum("bif,bjf->bij", na, nb,
                      preferred_element_type=f32)  # (B, ha, hb)
