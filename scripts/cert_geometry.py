@@ -106,6 +106,13 @@ def certify(model_size="base-256", n_train=768, n_val=384, amp=0.03,
     s = cfg.image_size
     n_tok = (s // cfg.patch_size) ** 2
     floor = deployed_floor(n_tok)
+    # scale the device chunk with geometry: a 256-image chunk at
+    # large-384/so400m activations over-fills HBM (measured: crashes the
+    # worker), and a smaller chunk costs only extra dispatches
+    if s >= 512 or cfg.width > 1024:
+        chunk = min(chunk, 32)
+    elif s >= 384 or cfg.width > 768:
+        chunk = min(chunk, 64)
 
     tr_imgs, tr_y = make_detect_batch(n_train // 2, s, seed=seed,
                                       artifact_amp=amp)
