@@ -45,6 +45,9 @@ import jax.numpy as jnp
 # difficulty levels): worst-case |ΔAUC| vs float = 0.0073 — far inside
 # the 0.02 single-mode / 0.03 int8-combined gates — for both a
 # float-trained head (train/serve mismatched) and a matched-trained head.
+# The same gate re-run at ViT-L-384 geometry (the reference's production
+# backbone, 576 tokens / floor 72): r=96 -0.0008, int8+r=96 -0.0022,
+# matched -0.0037 — all inside the gate there too.
 # r=128 measures within the gate too (worst 0.0050) but sits past the
 # cosine knee for only +7% more; parked. End-task AUC is also pinned at
 # toy geometry every CI run by tests/test_train_infer_e2e.py and at real
